@@ -1,0 +1,159 @@
+"""BERT text encoder in Flax.
+
+Capability parity with the reference's HF `BertModel.from_pretrained`
+(reference: encoder.py:112-134 returns the full last_hidden_state;
+mibf_net/bert.py:6-13 and ConNexT/models/BERT.py return the CLS vector).
+
+HF-compatible parameter structure so `bert-base-uncased` torch checkpoints
+convert 1:1 (see mdhs_tpu.core.convert). Returns all hidden states so
+hierarchical text features (layers 4/8/12) are available without re-running
+the tower. Attention runs in bf16 with f32 softmax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+
+    @classmethod
+    def tiny(cls) -> "BertConfig":
+        """Small config for tests / synthetic runs."""
+        return cls(
+            vocab_size=512,
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=128,
+            max_position_embeddings=128,
+        )
+
+
+class BertSelfAttention(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden, attn_bias, deterministic: bool):
+        c = self.cfg
+        head_dim = c.hidden_size // c.num_attention_heads
+        dense = lambda name: nn.Dense(c.hidden_size, dtype=self.dtype, name=name)
+        q = dense("query")(hidden)
+        k = dense("key")(hidden)
+        v = dense("value")(hidden)
+
+        def split(x):
+            return x.reshape(*x.shape[:-1], c.num_attention_heads, head_dim)
+
+        q, k, v = split(q), split(k), split(v)
+        # (B, H, Lq, Lk) scores; softmax in f32 for stability.
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        scores = scores / jnp.sqrt(head_dim).astype(jnp.float32)
+        scores = scores + attn_bias
+        probs = nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(c.attention_dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return ctx.reshape(*hidden.shape[:-1], c.hidden_size)
+
+
+class BertLayer(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden, attn_bias, deterministic: bool):
+        c = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name=name)
+        attn_out = BertSelfAttention(c, dtype=self.dtype, name="attention")(
+            hidden, attn_bias, deterministic
+        )
+        attn_out = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output")(attn_out)
+        attn_out = nn.Dropout(c.hidden_dropout)(attn_out, deterministic=deterministic)
+        hidden = ln("attention_layernorm")(hidden + attn_out)
+
+        inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(hidden)
+        inter = nn.gelu(inter, approximate=False)
+        out = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(inter)
+        out = nn.Dropout(c.hidden_dropout)(out, deterministic=deterministic)
+        return ln("output_layernorm")(hidden + out)
+
+
+class BertModel(nn.Module):
+    """BERT encoder. Returns (last_hidden_state, all_hidden_states tuple)."""
+
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        token_type_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        c = self.cfg
+        B, L = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, L), dtype=jnp.int32)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros((B, L), dtype=jnp.int32)
+
+        word = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="word_embeddings")(
+            input_ids
+        )
+        pos_ids = jnp.arange(L)[None, :]
+        pos = nn.Embed(
+            c.max_position_embeddings, c.hidden_size, dtype=self.dtype, name="position_embeddings"
+        )(pos_ids)
+        typ = nn.Embed(
+            c.type_vocab_size, c.hidden_size, dtype=self.dtype, name="token_type_embeddings"
+        )(token_type_ids)
+        hidden = word + pos + typ
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="embeddings_layernorm")(
+            hidden
+        )
+        hidden = nn.Dropout(c.hidden_dropout)(hidden, deterministic=deterministic)
+
+        # HF-style additive mask: 0 for attend, large negative for padding.
+        attn_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+
+        all_hidden = [hidden]
+        for i in range(c.num_hidden_layers):
+            hidden = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                hidden, attn_bias, deterministic
+            )
+            all_hidden.append(hidden)
+        return hidden, tuple(all_hidden)
+
+
+class BertWithPooler(nn.Module):
+    """BERT + tanh pooler over CLS (HF BertModel.pooler parity)."""
+
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None, deterministic=True):
+        last, all_hidden = BertModel(self.cfg, dtype=self.dtype, name="bert")(
+            input_ids, attention_mask, token_type_ids, deterministic
+        )
+        pooled = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="pooler")(last[:, 0])
+        pooled = jnp.tanh(pooled)
+        return last, pooled, all_hidden

@@ -1,0 +1,166 @@
+"""ResNet backbones in Flax (NHWC, TPU-native layout).
+
+Capability parity with the reference's torchvision backbones:
+- ResNet18/34 tapped at stem/layer1..layer4 for multi-scale tokens and
+  Grad-CAM (reference: encoder.py:62-109, scripts/run_analysis.py:126-133)
+- ResNet50 trunk + global pool + 768-d projection head for MIBF-Net
+  (reference: mibf_net/model_resnet.py:15-17)
+
+Design notes (TPU-first, not a torch translation):
+- NHWC layout throughout (XLA:TPU native); weight converters transpose
+  torch's NCHW/OIHW if checkpoints are imported.
+- Feature maps are returned functionally as a dict of taps; no hooks.
+- BatchNorm runs in bf16 activations / f32 statistics. Flax momentum=0.9
+  corresponds to torch's momentum=0.1 running-stat update.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    """3x3 + 3x3 residual block (ResNet18/34)."""
+
+    filters: int
+    strides: int = 1
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        if residual.shape != y.shape:
+            residual = self.conv(
+                self.filters, (1, 1), (self.strides, self.strides), name="downsample_conv"
+            )(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1 block (ResNet50+, torch v1.5 stride placement)."""
+
+    filters: int
+    strides: int = 1
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (1, 1), name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * self.expansion, (1, 1), name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        if residual.shape != y.shape:
+            residual = self.conv(
+                self.filters * self.expansion,
+                (1, 1),
+                (self.strides, self.strides),
+                name="downsample_conv",
+            )(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+STAGE_SIZES = {
+    "resnet18": [2, 2, 2, 2],
+    "resnet34": [3, 4, 6, 3],
+    "resnet50": [3, 4, 6, 3],
+}
+BLOCK_CLS = {
+    "resnet18": BasicBlock,
+    "resnet34": BasicBlock,
+    "resnet50": Bottleneck,
+}
+# Channel count of each tap (layer2/3/4), used by token projections
+# (reference: encoder.py:38-42 channels dict; ResNet50 bottleneck x4).
+TAP_CHANNELS = {
+    "resnet18": {"layer1": 64, "layer2": 128, "layer3": 256, "layer4": 512},
+    "resnet34": {"layer1": 64, "layer2": 128, "layer3": 256, "layer4": 512},
+    "resnet50": {"layer1": 256, "layer2": 512, "layer3": 1024, "layer4": 2048},
+}
+
+
+class ResNet(nn.Module):
+    """ResNet trunk returning all intermediate taps.
+
+    __call__(x, train) -> dict with keys stem, layer1..layer4; each value is
+    an NHWC feature map. Callers pool / tokenize as needed.
+    """
+
+    backbone: str = "resnet18"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        if self.backbone not in STAGE_SIZES:
+            raise ValueError(f"Unsupported backbone: {self.backbone}")
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype, padding="SAME")
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )
+        block_cls = BLOCK_CLS[self.backbone]
+        stage_sizes = STAGE_SIZES[self.backbone]
+
+        x = x.astype(self.dtype)
+        # Stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool (reference encoder.py:63-68)
+        x = conv(64, (7, 7), (2, 2), name="stem_conv")(x)
+        x = norm(name="stem_bn")(x)
+        x = nn.relu(x)
+        taps = {"stem": x}
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        widths = [64, 128, 256, 512]
+        for i, (n_blocks, width) in enumerate(zip(stage_sizes, widths)):
+            for j in range(n_blocks):
+                strides = 2 if (i > 0 and j == 0) else 1
+                x = block_cls(
+                    filters=width,
+                    strides=strides,
+                    conv=conv,
+                    norm=norm,
+                    name=f"layer{i + 1}_block{j}",
+                )(x)
+            taps[f"layer{i + 1}"] = x
+        return taps
+
+
+class ResNetClassifier(nn.Module):
+    """ResNet trunk + global average pool + Dense head.
+
+    Equivalent of torchvision resnet with a replaced fc, e.g. the MIBF image
+    branch resnet50.fc = Linear(2048, 768) (reference mibf_net/model_resnet.py:15-17).
+    """
+
+    backbone: str = "resnet50"
+    num_outputs: int = 768
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        taps = ResNet(backbone=self.backbone, dtype=self.dtype, name="trunk")(x, train)
+        pooled = jnp.mean(taps["layer4"], axis=(1, 2))
+        out = nn.Dense(self.num_outputs, dtype=self.dtype, name="fc")(pooled)
+        return out, taps

@@ -1,0 +1,99 @@
+"""Device mesh and sharding setup.
+
+TPU-native replacement for the reference's parallelism surface:
+- nn.DataParallel (reference scripts/train.py:221-223)  -> data axis of a Mesh
+- DDP/NCCL (reference mibf_net/train_resnet.py:84-134)  -> same data axis;
+  multi-host goes through jax.distributed.initialize + the same Mesh
+- (new) model axis for tensor-parallel sharding of wide layers and
+  expert-parallel placement of MoE experts — absent in the reference but
+  required for scaling (SURVEY.md §2.9).
+
+All collectives are emitted by XLA from NamedSharding annotations; there is
+no hand-written communication backend.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a 2-D (data, model) mesh over the available devices.
+
+    Default layout puts all devices on the data axis (pure DP, which is the
+    reference's only parallel strategy). For MoE / tensor-parallel runs pass
+    n_model > 1; the data axis is derived as n_devices // n_model.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    if n_data is None:
+        if n % n_model != 0:
+            raise ValueError(f"{n} devices not divisible by n_model={n_model}")
+        n_data = n // n_model
+    if n_data * n_model != n:
+        raise ValueError(f"mesh {n_data}x{n_model} != {n} devices")
+    arr = np.asarray(devs).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of host arrays onto the mesh, batch-sharded on axis 0."""
+    sh = batch_sharding(mesh)
+
+    def _put(x):
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def param_sharding_rules(path_tuple, value, mesh: Mesh) -> NamedSharding:
+    """Sharding rule for a parameter leaf.
+
+    Tensor-parallel layout for the wide layers (BERT FFN, attention QKV
+    output features, MoE expert banks) over the model axis; everything else
+    replicated. Keys are flax param path components.
+    """
+    path = "/".join(str(p) for p in path_tuple).lower()
+    ndim = getattr(value, "ndim", 0)
+    if mesh.shape[MODEL_AXIS] > 1:
+        # MoE expert banks: leading expert axis sharded across model axis.
+        if "experts" in path and ndim >= 2:
+            return NamedSharding(mesh, P(MODEL_AXIS, *([None] * (ndim - 1))))
+        # FFN up-projection / QKV: shard output features (last axis).
+        if ndim == 2 and any(k in path for k in ("intermediate", "ffn_up", "up_proj")):
+            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        # FFN down-projection: shard input features.
+        if ndim == 2 and any(k in path for k in ("ffn_down", "down_proj")):
+            return NamedSharding(mesh, P(MODEL_AXIS, None))
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply param_sharding_rules across a flax param pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves, treedef = flat
+    out = []
+    for path, leaf in leaves:
+        sh = param_sharding_rules(tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path), leaf, mesh)
+        out.append(jax.device_put(leaf, sh))
+    return jax.tree_util.tree_unflatten(treedef, out)

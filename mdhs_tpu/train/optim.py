@@ -1,0 +1,203 @@
+"""Optimizers and LR schedules in optax.
+
+Parity targets (reference scripts/train.py:255-336):
+- Adam / AdamW / SGD by name
+- Muon with aux Adam: params with ndim >= 2 get Newton–Schulz
+  orthogonalized momentum updates; the rest get Adam. The reference pulls
+  this from the external `muon` package (KellerJordan/Muon) behind a dummy
+  1-process dist init; ours is a native optax transform (no process groups
+  needed — Muon's orthogonalization is purely local math).
+- cosine (epoch-stepped) and warmup_cosine (per-step LambdaLR) schedules.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.registry import OPTIMIZERS, SCHEDULES
+
+
+# ---------------------------------------------------------------------------
+# Muon
+# ---------------------------------------------------------------------------
+
+def newton_schulz_orthogonalize(g: jnp.ndarray, steps: int = 5, eps: float = 1e-7):
+    """Quintic Newton–Schulz iteration driving singular values toward 1.
+
+    Operates on the last two axes; runs in bfloat16 like the reference
+    implementation of Muon (stable by design of the coefficients).
+    """
+    a, b, c = 3.4445, -4.7750, 2.0315
+    x = g.astype(jnp.bfloat16)
+    transposed = x.shape[-2] > x.shape[-1]
+    if transposed:
+        x = x.swapaxes(-2, -1)
+    x = x / (jnp.linalg.norm(x.astype(jnp.float32), axis=(-2, -1), keepdims=True) + eps).astype(
+        jnp.bfloat16
+    )
+    for _ in range(steps):
+        A = x @ x.swapaxes(-2, -1)
+        B = b * A + c * (A @ A)
+        x = a * x + B @ x
+    if transposed:
+        x = x.swapaxes(-2, -1)
+    return x.astype(g.dtype)
+
+
+class MuonState(NamedTuple):
+    momentum: optax.Updates
+
+
+def scale_by_muon(momentum: float = 0.95, nesterov: bool = True, ns_steps: int = 5):
+    """Muon: momentum -> Newton–Schulz orthogonalization -> shape rescale."""
+
+    def init_fn(params):
+        return MuonState(momentum=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        buf = jax.tree_util.tree_map(
+            lambda m, g: momentum * m + g, state.momentum, updates
+        )
+        if nesterov:
+            eff = jax.tree_util.tree_map(lambda g, m: g + momentum * m, updates, buf)
+        else:
+            eff = buf
+
+        def ortho(g):
+            if g.ndim < 2:
+                return g
+            g2 = g.reshape(g.shape[0], -1) if g.ndim > 2 else g
+            o = newton_schulz_orthogonalize(g2, ns_steps)
+            scale = max(1.0, g2.shape[0] / g2.shape[1]) ** 0.5
+            return (o * scale).reshape(g.shape)
+
+        return jax.tree_util.tree_map(ortho, eff), MuonState(momentum=buf)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def muon_with_aux_adam(
+    muon_lr: float = 0.02,
+    muon_weight_decay: float = 0.01,
+    muon_momentum: float = 0.95,
+    aux_lr: float = 3e-4,
+    aux_betas=(0.9, 0.95),
+    aux_weight_decay: float = 0.01,
+):
+    """ndim>=2 params -> Muon; others -> AdamW (reference train.py:289-307)."""
+    muon_tx = optax.chain(
+        scale_by_muon(momentum=muon_momentum),
+        optax.add_decayed_weights(muon_weight_decay),
+        optax.scale_by_learning_rate(muon_lr),
+    )
+    adam_tx = optax.chain(
+        optax.scale_by_adam(b1=aux_betas[0], b2=aux_betas[1]),
+        optax.add_decayed_weights(aux_weight_decay),
+        optax.scale_by_learning_rate(aux_lr),
+    )
+
+    def label_fn(params):
+        return jax.tree_util.tree_map(
+            lambda p: "muon" if getattr(p, "ndim", 0) >= 2 else "adam", params
+        )
+
+    return optax.multi_transform({"muon": muon_tx, "adam": adam_tx}, label_fn)
+
+
+# ---------------------------------------------------------------------------
+# Schedules
+# ---------------------------------------------------------------------------
+
+@SCHEDULES.register("cosine")
+def cosine_schedule(base_lr: float, *, num_epochs: int, steps_per_epoch: int, **_):
+    """Epoch-granularity CosineAnnealingLR(T_max=num_epochs)
+    (reference train.py:317-320): lr(e) = base * (1 + cos(pi e / E)) / 2."""
+
+    def fn(step):
+        epoch = jnp.floor(step / max(1, steps_per_epoch))
+        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / max(1, num_epochs)))
+
+    return fn
+
+
+@SCHEDULES.register("warmup_cosine")
+def warmup_cosine_schedule(
+    base_lr: float, *, num_epochs: int, steps_per_epoch: int, warmup_epochs: int = 5, **_
+):
+    """Per-step warmup + cosine (reference train.py:321-334)."""
+    total_steps = num_epochs * steps_per_epoch
+    warmup_steps = min(int(warmup_epochs * steps_per_epoch), total_steps)
+
+    def fn(step):
+        warm = base_lr * (step + 1.0) / max(1, warmup_steps)
+        progress = step - warmup_steps
+        cosine_steps = max(1, total_steps - warmup_steps)
+        cos = base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * progress / cosine_steps))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return fn
+
+
+@SCHEDULES.register("constant")
+def constant_schedule(base_lr: float, **_):
+    return lambda step: jnp.asarray(base_lr, jnp.float32)
+
+
+def make_schedule(name: Optional[str], base_lr: float, **kwargs):
+    if not name:
+        return constant_schedule(base_lr)
+    key = name.lower().replace("-", "_")
+    if key not in SCHEDULES:
+        # reference logs "unrecognized scheduler" and proceeds without one
+        return constant_schedule(base_lr)
+    return SCHEDULES.get(key)(base_lr, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer factory
+# ---------------------------------------------------------------------------
+
+@OPTIMIZERS.register("adam")
+def _adam(lr_schedule, cfg):
+    return optax.adam(lr_schedule)
+
+
+@OPTIMIZERS.register("adamw")
+def _adamw(lr_schedule, cfg):
+    return optax.adamw(lr_schedule)
+
+
+@OPTIMIZERS.register("sgd")
+def _sgd(lr_schedule, cfg):
+    return optax.sgd(lr_schedule)
+
+
+@OPTIMIZERS.register("muon")
+def _muon(lr_schedule, cfg):
+    t = cfg.get("training", {}) if cfg is not None else {}
+    get = t.get if hasattr(t, "get") else (lambda *a: a[1] if len(a) > 1 else None)
+    return muon_with_aux_adam(
+        muon_lr=get("muon_lr", 0.02),
+        muon_weight_decay=get("muon_weight_decay", 0.01),
+        aux_lr=get("muon_aux_lr", 3e-4),
+        aux_betas=tuple(get("muon_aux_betas", (0.9, 0.95))),
+        aux_weight_decay=get("muon_aux_weight_decay", 0.01),
+    )
+
+
+def make_optimizer(name: str, lr_schedule, cfg=None, freeze_mask=None):
+    """Build optimizer by reference name (Adam/AdamW/SGD/Muon; train.py:255-309).
+
+    freeze_mask: pytree of bools (True = trainable). Frozen params get
+    zero updates (reference freezes encoders via requires_grad=False,
+    train.py:214-219).
+    """
+    tx = OPTIMIZERS.get(name.lower())(lr_schedule, cfg)
+    if freeze_mask is not None:
+        tx = optax.chain(optax.masked(tx, freeze_mask))
+    return tx
