@@ -1,0 +1,94 @@
+"""Device-side classification metrics.
+
+Replaces torchmetrics/sklearn usage in the reference (pl_model_MOE2.py:120-135
+macro + per-class Accuracy/Precision/Recall/F1 + AUROC; models/test.py:118-131
+sklearn reports; predict_resnet_ham_image.py:101-116 macro-OVR AUC).
+
+All metrics are computed from a confusion matrix / rank statistics in jnp so
+they can run inside jitted eval loops; macro averages over classes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def confusion_matrix(preds, labels, num_classes: int) -> jnp.ndarray:
+    """(num_classes, num_classes) matrix; rows = true, cols = predicted."""
+    idx = labels * num_classes + preds
+    cm = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes)
+    return cm.reshape(num_classes, num_classes).astype(jnp.float32)
+
+
+def accuracy(preds, labels) -> jnp.ndarray:
+    return (preds == labels).mean()
+
+
+def per_class_metrics(cm: jnp.ndarray):
+    """Returns dict of per-class vectors: accuracy (recall), precision,
+    recall, f1. Classes absent from the batch get 0 (torchmetrics default)."""
+    tp = jnp.diag(cm)
+    support = cm.sum(axis=1)
+    predicted = cm.sum(axis=0)
+    precision = jnp.where(predicted > 0, tp / jnp.maximum(predicted, 1.0), 0.0)
+    recall = jnp.where(support > 0, tp / jnp.maximum(support, 1.0), 0.0)
+    f1 = jnp.where(
+        precision + recall > 0, 2 * precision * recall / jnp.maximum(precision + recall, 1e-12), 0.0
+    )
+    return {"accuracy": recall, "precision": precision, "recall": recall, "f1": f1}
+
+
+def macro_metrics(cm: jnp.ndarray):
+    per = per_class_metrics(cm)
+    total = cm.sum()
+    return {
+        "accuracy": jnp.diag(cm).sum() / jnp.maximum(total, 1.0),
+        "precision_macro": per["precision"].mean(),
+        "recall_macro": per["recall"].mean(),
+        "f1_macro": per["f1"].mean(),
+    }
+
+
+def auroc_ovr_macro(probs, labels, num_classes: int) -> jnp.ndarray:
+    """Macro one-vs-rest AUROC via the rank-sum (Mann-Whitney U) statistic.
+
+    AUC_c = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) where R_pos is the
+    sum of ranks of positive-class scores. Ties get average ranks.
+    """
+    probs = probs.astype(jnp.float32)
+
+    def one_class(c):
+        scores = probs[:, c]
+        pos = (labels == c).astype(jnp.float32)
+        n_pos = pos.sum()
+        n_neg = pos.shape[0] - n_pos
+        order = jnp.argsort(scores)
+        sorted_scores = scores[order]
+        ranks = jnp.arange(1, scores.shape[0] + 1, dtype=jnp.float32)
+        # average ranks over ties
+        def avg_ties(r):
+            same = (sorted_scores[:, None] == sorted_scores[None, :]).astype(jnp.float32)
+            return (same @ r) / jnp.maximum(same.sum(axis=1), 1.0)
+
+        ranks = avg_ties(ranks)
+        inv = jnp.zeros_like(ranks).at[order].set(ranks)
+        r_pos = (inv * pos).sum()
+        auc = (r_pos - n_pos * (n_pos + 1) / 2) / jnp.maximum(n_pos * n_neg, 1.0)
+        return jnp.where((n_pos > 0) & (n_neg > 0), auc, 0.5)
+
+    aucs = jax.vmap(one_class)(jnp.arange(num_classes))
+    return aucs.mean()
+
+
+def classification_report(logits, labels, num_classes: int):
+    """Full metric dict used by eval CLIs (macro + per-class + AUROC)."""
+    logits = logits.astype(jnp.float32)
+    preds = logits.argmax(axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    cm = confusion_matrix(preds, labels, num_classes)
+    out = dict(macro_metrics(cm))
+    out["auroc_macro"] = auroc_ovr_macro(probs, labels, num_classes)
+    out["per_class"] = per_class_metrics(cm)
+    out["confusion_matrix"] = cm
+    return out

@@ -1,0 +1,589 @@
+"""Trainer: jitted train/eval steps + epoch loop for all three model families.
+
+Parity with the reference training loops:
+- baseline (scripts/train.py): CE/focal + smoothing/class weights, SupCon
+  pretrain/finetune stages, Adam/AdamW/SGD/Muon, cosine / warmup_cosine,
+  encoder freezing, resume, top-3 val-acc checkpoints, TB scalars; the
+  train loop optimizes forward_features+classifier (ungated), :363-381.
+- mibf (mibf_net/train_resnet.py): MP-Loss family, per-step cosine
+  schedule, last+best checkpoints.
+- connext (ConNexT/models/pl_model_MOE2.py): CE (+class weights) +
+  balance_weight * MoE balance loss, Adam + cosine.
+
+TPU-first: ONE jitted train_step fuses device-side augmentation, forward,
+loss, backward, and the optimizer update; the input batch is uint8
+canvases + token ids. Data parallelism = jit with batch-sharded inputs
+over the mesh data axis (collectives inserted by XLA).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.checkpoint import TopKCheckpointManager, load_checkpoint, merge_tolerant
+from ..core.config import Config
+from ..data.datasets import DatasetOptions, MultimodalDataset
+from ..data.loader import DataLoader
+from ..data.tokenizer import load_tokenizer
+from ..models.baseline import BaselineConfig, MultimodalBaselineModel
+from ..models.bert import BertConfig
+from ..models.connext import ConNexTClassifier
+from ..models.mibf import MIBFNet
+from ..ops.augment import train_pipeline
+from ..ops.preprocess import eval_pipeline
+from ..ops.stain_norm import stain_normalize
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..utils.logging import MetricWriter, setup_logging, setup_run_dir
+from .losses import (
+    ce_loss,
+    compute_class_weights,
+    focal_loss,
+    mibf_loss,
+    supcon_loss,
+)
+from .optim import make_optimizer, make_schedule
+
+log = logging.getLogger(__name__)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    kan_state: Any
+    opt_state: Any
+
+
+def bert_config_from(cfg: Config, vocab_size: int) -> BertConfig:
+    preset = cfg.get("model.text_encoder.preset", "base")
+    if preset == "tiny":
+        base = BertConfig.tiny()
+        return dataclasses.replace(base, vocab_size=max(vocab_size, base.vocab_size))
+    return BertConfig(vocab_size=max(vocab_size, 30522))
+
+
+def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype=None):
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = (
+            jnp.float32
+            if str(cfg.get("training.precision", "bf16")).lower() in ("fp32", "f32", "float32")
+            else jnp.bfloat16
+        )
+    bert = bert_config_from(cfg, tokenizer.vocab_size)
+    if family == "baseline":
+        mc = BaselineConfig.from_config(cfg, tabular_input_dim=tabular_dim, bert=bert)
+        return MultimodalBaselineModel(mc, dtype=dtype)
+    if family == "mibf":
+        return MIBFNet(
+            num_labels=cfg.get("model.num_classes", 6), bert=bert, dtype=dtype
+        )
+    if family == "connext":
+        moe = cfg.get("model.moe", {})
+        return ConNexTClassifier(
+            num_labels=cfg.get("model.num_classes", 7),
+            convnext_variant=cfg.get("model.image_encoder.variant", "base"),
+            head="moe" if moe.get("enabled", False) else "linear",
+            moe_num_experts=moe.get("num_experts", 4),
+            moe_k=moe.get("k", 2),
+            use_mamba_fusion=bool(cfg.get("model.mamba_fusion.enabled", False)),
+            bert=bert,
+            dtype=dtype,
+        )
+    raise ValueError(f"unknown model family: {family}")
+
+
+def _freeze_mask(params, cfg: Config, family: str):
+    """True = trainable. Reference freezes whole encoder subtrees
+    (scripts/train.py:214-219)."""
+    freeze_img = bool(cfg.get("model.image_encoder.freeze", False))
+    freeze_txt = bool(cfg.get("model.text_encoder.freeze", False))
+    if not (freeze_img or freeze_txt):
+        return None
+
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    mask = {}
+    for key in flat:
+        trainable = True
+        if freeze_img and ("image_encoder" in key):
+            trainable = False
+        if freeze_txt and ("text_encoder" in key):
+            trainable = False
+        mask[key] = trainable
+    return flax.traverse_util.unflatten_dict(mask, sep="/")
+
+
+class Trainer:
+    def __init__(self, cfg: Config, family: str = "baseline", output_dir: Optional[str] = None,
+                 setup_data: bool = True):
+        self.cfg = cfg
+        self.family = family
+        self.image_size = int(cfg.get("data.image_size", 224))
+        self.canvas = int(cfg.get("data.canvas", 256))
+        self.normalize = family != "mibf"  # MIBF pipeline has no Normalize
+        aug = cfg.get("data.augment", {})
+        self.aug_kwargs = dict(
+            degrees=aug.get("degrees", 15.0 if family == "mibf" else 45.0),
+            vflip=bool(aug.get("vflip", family != "mibf")),
+        )
+        self.color_jitter = bool(aug.get("color_jitter", family != "mibf"))
+        self.stain_cfg = cfg.get("data.stain_normalization", {})
+        self.mesh = make_mesh()
+        self.rng = jax.random.PRNGKey(int(cfg.get("training.seed", 0)))
+
+        self.tokenizer = load_tokenizer(
+            cfg.get("model.text_encoder.model_name"),
+            vocab_size=cfg.get("model.text_encoder.vocab_size", 30522),
+        )
+
+        self.train_loader = self.val_loader = None
+        tabular_dim = 0
+        if setup_data:
+            self.train_loader = self._make_loader("train")
+            self.val_loader = self._make_loader("val")
+            tabular_dim = getattr(self.train_loader.dataset, "tabular_dim", 0)
+
+        self.model = build_model(cfg, family, self.tokenizer, tabular_dim)
+        self.ablation_mode = cfg.get("model.ablation_mode")
+
+        # loss config
+        t = cfg.get("training", {})
+        loss_cfg = t.get("loss", {})
+        self.loss_type = str(loss_cfg.get("type", "ce")).lower()
+        self.label_smoothing = float(loss_cfg.get("label_smoothing", 0.02))
+        self.focal_gamma = float(loss_cfg.get("focal_gamma", 2.0))
+        self.class_weights = None
+        if t.get("class_weight") == "balanced" and self.train_loader is not None:
+            self.class_weights = jnp.asarray(
+                compute_class_weights(
+                    self.train_loader.dataset.labels, cfg.get("model.num_classes", 7)
+                )
+            )
+        sc = t.get("supcon", {})
+        self.supcon_enabled = bool(sc.get("enabled", False))
+        self.supcon_stage = sc.get("stage", "finetune")
+        self.supcon_temp = float(sc.get("temperature", 0.07))
+        self.supcon_weight = float(sc.get("weight", 0.1))
+        self.mibf_loss_class = cfg.get("model.loss_class", "KL_loss")
+        self.balance_weight = cfg.get("model.moe.balance_weight", 0.01)
+
+        # optimizer
+        steps_per_epoch = len(self.train_loader) if self.train_loader else 1
+        self.num_epochs = int(t.get("num_epochs", 1))
+        schedule = make_schedule(
+            t.get("lr_scheduler"),
+            float(t.get("learning_rate", 1e-4)),
+            num_epochs=self.num_epochs,
+            steps_per_epoch=steps_per_epoch,
+            warmup_epochs=t.get("warmup_epochs", 5),
+        )
+        self.lr_schedule = schedule
+        self._opt_name = str(t.get("optimizer", "Adam"))
+        self._init_state()
+
+        # output dir
+        if output_dir is None:
+            output_dir = setup_run_dir(
+                cfg.get("output.log_dir", "./runs"), cfg.get("output.run_name", "run")
+            )
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        setup_logging(output_dir)
+        cfg.save(os.path.join(output_dir, "config.yml"))
+        self.writer = MetricWriter(output_dir)
+        self.ckpt = TopKCheckpointManager(output_dir, k=3)
+
+        resume = cfg.get("training.resume_from")
+        if resume:
+            self.load_weights(resume)
+
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    def _make_loader(self, split: str):
+        cfg = self.cfg
+        d = cfg.get("data")
+        image_dir = d.get(f"{split}_image_dir")
+        json_path = d.get(f"{split}_json_path")
+        csv_path = d.get(f"{split}_label_csv")
+        if image_dir is None:
+            return None
+        opts = DatasetOptions(
+            max_length=cfg.get("tokenizer.max_length", 128),
+            tabular_enabled=bool(cfg.get("model.tabular.enabled", False)),
+            tabular_fields=tuple(cfg.get("model.tabular.fields", ["age", "sex", "localization"]) or []),
+            tabular_normalize=cfg.get("model.tabular.normalize", "zscore"),
+            metadata_csv=d.get("metadata_csv"),
+            extra_image_dirs=tuple(d.get("extra_image_dirs", []) or []),
+            pseudo_2p5d=bool(d.get("pseudo_2p5d.enabled", False)),
+            pseudo_offsets=tuple(d.get("pseudo_2p5d.offsets", [-1, 0, 1]) or []),
+            sequence=bool(d.get("sequence.enabled", False)),
+            sequence_offsets=tuple(d.get("sequence.offsets", [-2, -1, 0, 1, 2]) or []),
+            multi_view=bool(d.get("multi_view.enabled", False)),
+            num_views=int(d.get("multi_view.num_views", 2)),
+            clean_cjk_text=self.family == "mibf",
+            canvas=self.canvas,
+        )
+        ds = MultimodalDataset(image_dir, json_path, csv_path, self.tokenizer, opts)
+        is_train = split == "train"
+        return DataLoader(
+            ds,
+            batch_size=int(cfg.get("training.batch_size", 32)),
+            shuffle=is_train,
+            weighted=is_train and cfg.get("training.sampler") == "weighted",
+            num_classes=cfg.get("model.num_classes", 7),
+            seed=int(cfg.get("training.seed", 0)),
+        )
+
+    # ------------------------------------------------------------------
+    def _example_batch(self):
+        S = self.canvas
+        B = 2
+        L = self.cfg.get("tokenizer.max_length", 128)
+        seq = bool(self.cfg.get("data.sequence.enabled", False)) or bool(
+            self.cfg.get("data.multi_view.enabled", False)
+        )
+        T = len(self.cfg.get("data.sequence.offsets", [-2, -1, 0, 1, 2]) or []) if self.cfg.get(
+            "data.sequence.enabled", False
+        ) else int(self.cfg.get("data.multi_view.num_views", 2))
+        img_shape = (B, T, S, S, 3) if seq else (B, S, S, 3)
+        batch = {
+            "image": np.zeros(img_shape, np.uint8),
+            "input_ids": np.zeros((B, L), np.int32),
+            "attention_mask": np.ones((B, L), np.int32),
+            "label": np.zeros((B,), np.int32),
+        }
+        if self.cfg.get("model.tabular.enabled", False) and self.train_loader is not None:
+            batch["tabular"] = np.zeros(
+                (B, self.train_loader.dataset.tabular_dim), np.float32
+            )
+        return batch
+
+    def _preprocess_train(self, rng, images):
+        """uint8 canvases -> augmented model input (handles 5-D stacks)."""
+        stain = None
+        if self.stain_cfg.get("enabled", False):
+            stain = (
+                tuple(self.stain_cfg.get("target_mean", [150.0, 140.0, 140.0])),
+                tuple(self.stain_cfg.get("target_std", [20.0, 20.0, 20.0])),
+            )
+
+        def aug2d(rng, x):
+            from ..ops.augment import affine_sample, color_jitter, random_affine_matrix
+            from ..ops.preprocess import normalize_imagenet
+
+            B, S = x.shape[0], x.shape[1]
+            k_aff, k_col = jax.random.split(rng)
+            xf = x.astype(jnp.float32) / 255.0
+            if stain is not None:
+                xf = stain_normalize(xf, stain[0], stain[1])
+            mats = jax.vmap(
+                lambda k: random_affine_matrix(
+                    k, S, self.image_size,
+                    degrees=self.aug_kwargs["degrees"],
+                    vflip=self.aug_kwargs["vflip"],
+                )
+            )(jax.random.split(k_aff, B))
+            xf = affine_sample(xf, mats, self.image_size)
+            if self.color_jitter:
+                xf = color_jitter(k_col, xf)
+            if self.normalize:
+                return normalize_imagenet(xf, self.model.dtype)
+            return xf.astype(self.model.dtype)
+
+        if images.ndim == 5:
+            B, T = images.shape[:2]
+            flat = images.reshape(B * T, *images.shape[2:])
+            out = aug2d(rng, flat)
+            return out.reshape(B, T, *out.shape[1:])
+        return aug2d(rng, images)
+
+    def _preprocess_eval(self, images):
+        if images.ndim == 5:
+            B, T = images.shape[:2]
+            flat = images.reshape(B * T, *images.shape[2:])
+            out = eval_pipeline(flat, self.image_size, self.normalize, self.model.dtype)
+            return out.reshape(B, T, *out.shape[1:])
+        return eval_pipeline(images, self.image_size, self.normalize, self.model.dtype)
+
+    # ------------------------------------------------------------------
+    def _init_state(self):
+        batch = self._example_batch()
+        rng = self.rng
+        images = self._preprocess_eval(jnp.asarray(batch["image"]))
+
+        def init_fn(rng):
+            rngs = {"params": rng, "dropout": rng, "gating": rng}
+            if self.family == "baseline":
+                return self.model.init(
+                    rngs,
+                    images,
+                    jnp.asarray(batch["input_ids"]),
+                    jnp.asarray(batch["attention_mask"]),
+                    tabular_input=jnp.asarray(batch["tabular"]) if "tabular" in batch else None,
+                    ablation_mode=self.ablation_mode,
+                )
+            return self.model.init(
+                rngs,
+                images,
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]),
+            )
+
+        variables = jax.jit(init_fn)(rng)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        kan_state = variables.get("kan_state", {})
+
+        self.freeze_mask = _freeze_mask(params, self.cfg, self.family)
+        self.tx = make_optimizer(self._opt_name, self.lr_schedule, self.cfg, self.freeze_mask)
+        opt_state = jax.jit(self.tx.init)(params)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            kan_state=kan_state,
+            opt_state=opt_state,
+        )
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+        log.info("initialized %s model: %.2fM params", self.family, n_params / 1e6)
+
+    def variables(self, params=None, train: bool = False):
+        v = {"params": params if params is not None else self.state.params}
+        if self.state.batch_stats:
+            v["batch_stats"] = self.state.batch_stats
+        if self.state.kan_state:
+            v["kan_state"] = self.state.kan_state
+        return v
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, batch_stats, kan_state, batch, images, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        if kan_state:
+            variables["kan_state"] = kan_state
+        rngs = {"dropout": rng, "gating": rng}
+        labels = batch["label"]
+        mutable = ["batch_stats"] if batch_stats else []
+
+        if self.family == "baseline":
+            tab = batch.get("tabular")
+            (feats, logits), new_vars = self.model.apply(
+                variables,
+                images,
+                batch["input_ids"],
+                batch["attention_mask"],
+                tabular_input=tab,
+                ablation_mode=self.ablation_mode,
+                train=True,
+                deterministic=False,
+                rngs=rngs,
+                mutable=mutable,
+                method=self.model.features_and_logits,
+            )
+            if self.supcon_enabled and self.supcon_stage == "pretrain":
+                loss = supcon_loss(feats, labels, self.supcon_temp)
+            else:
+                if self.loss_type == "focal":
+                    loss = focal_loss(
+                        logits, labels, gamma=self.focal_gamma, class_weights=self.class_weights
+                    )
+                else:
+                    loss = ce_loss(
+                        logits,
+                        labels,
+                        label_smoothing=self.label_smoothing,
+                        class_weights=self.class_weights,
+                    )
+                if self.supcon_enabled and self.supcon_stage == "finetune":
+                    loss = loss + self.supcon_weight * supcon_loss(feats, labels, self.supcon_temp)
+            return loss, (new_vars, logits)
+
+        if self.family == "mibf":
+            outputs, new_vars = self.model.apply(
+                variables,
+                images,
+                batch["input_ids"],
+                batch["attention_mask"],
+                train=True,
+                deterministic=False,
+                rngs=rngs,
+                mutable=mutable,
+            )
+            loss = mibf_loss(outputs, labels, self.mibf_loss_class)
+            return loss, (new_vars, outputs["image_text"])
+
+        # connext
+        (logits, balance), new_vars = self.model.apply(
+            variables,
+            images,
+            batch["input_ids"],
+            batch["attention_mask"],
+            train=True,
+            deterministic=False,
+            rngs=rngs,
+            mutable=mutable,
+        )
+        loss = ce_loss(logits, labels, label_smoothing=0.0, class_weights=self.class_weights)
+        loss = loss + self.balance_weight * balance
+        return loss, (new_vars, logits)
+
+    def train_step_fn(self):
+        def step(state: TrainState, batch, rng):
+            aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+            images = self._preprocess_train(aug_rng, batch["image"])
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (loss, (new_vars, logits)), grads = grad_fn(
+                state.params, state.batch_stats, state.kan_state, batch, images, drop_rng
+            )
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=params,
+                batch_stats=new_vars.get("batch_stats", state.batch_stats),
+                opt_state=opt_state,
+            )
+            acc = (logits.argmax(-1) == batch["label"]).mean()
+            return new_state, {"loss": loss, "accuracy": acc}
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def eval_step_fn(self, ablation_mode=None, tta: bool = False, tta_transforms=None):
+        from ..ops.tta import tta_logits
+
+        def apply_logits(variables, images, input_ids, attention_mask, tabular):
+            if self.family == "baseline":
+                return self.model.apply(
+                    variables,
+                    images,
+                    input_ids,
+                    attention_mask,
+                    tabular_input=tabular,
+                    ablation_mode=ablation_mode,
+                )
+            if self.family == "mibf":
+                out = self.model.apply(variables, images, input_ids, attention_mask)
+                return out["image_text"]
+            logits, _ = self.model.apply(variables, images, input_ids, attention_mask)
+            return logits
+
+        def step(state: TrainState, batch):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            if state.kan_state:
+                variables["kan_state"] = state.kan_state
+            images = self._preprocess_eval(batch["image"])
+            tab = batch.get("tabular")
+            if tta:
+                logits = tta_logits(
+                    lambda im, ii, am: apply_logits(variables, im, ii, am, tab),
+                    images,
+                    batch["input_ids"],
+                    batch["attention_mask"],
+                    transforms=tuple(tta_transforms or ("hflip",)),
+                )
+            else:
+                logits = apply_logits(
+                    variables, images, batch["input_ids"], batch["attention_mask"], tab
+                )
+            return logits
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def validate(self, eval_step=None):
+        if self.val_loader is None:
+            return 0.0, 0.0
+        eval_step = eval_step or self.eval_step_fn()
+        total_loss, correct, total = 0.0, 0, 0
+        n_batches = 0
+        for batch in self.val_loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+            logits = eval_step(self.state, jb)
+            n_valid = int(batch["n_valid"])
+            labels = np.asarray(batch["label"][:n_valid])
+            lg = np.asarray(logits[:n_valid], np.float32)
+            loss = float(
+                np.asarray(ce_loss(jnp.asarray(lg), jnp.asarray(labels), label_smoothing=0.0))
+            )
+            total_loss += loss
+            n_batches += 1
+            correct += int((lg.argmax(-1) == labels).sum())
+            total += n_valid
+        return total_loss / max(1, n_batches), 100.0 * correct / max(1, total)
+
+    def checkpoint_state(self):
+        return {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "kan_state": self.state.kan_state,
+            "step": np.asarray(self.state.step),
+        }
+
+    def load_weights(self, path: str):
+        loaded = load_checkpoint(path)
+        params = merge_tolerant(
+            flax.serialization.to_state_dict(self.state.params), loaded.get("params", {})
+        )
+        params = flax.serialization.from_state_dict(self.state.params, params)
+        bs = self.state.batch_stats
+        if loaded.get("batch_stats") and bs:
+            bs_d = merge_tolerant(flax.serialization.to_state_dict(bs), loaded["batch_stats"])
+            bs = flax.serialization.from_state_dict(bs, bs_d)
+        self.state = self.state.replace(params=params, batch_stats=bs)
+        log.info("loaded weights from %s", path)
+
+    # ------------------------------------------------------------------
+    def fit(self):
+        train_step = self.train_step_fn()
+        eval_step = self.eval_step_fn()
+        rng = self.rng
+        global_step = 0
+        for epoch in range(self.num_epochs):
+            t0 = time.time()
+            total_loss, n_batches = 0.0, 0
+            for batch in self.train_loader:
+                jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+                self.state, m = train_step(self.state, jb, rng)
+                loss = float(m["loss"])
+                total_loss += loss
+                n_batches += 1
+                global_step += 1
+                if global_step % 100 == 0:
+                    self.writer.scalar("Loss/Train_Batch", loss, global_step)
+            avg_loss = total_loss / max(1, n_batches)
+            val_loss, val_acc = self.validate(eval_step)
+            dt = time.time() - t0
+            log.info(
+                "Epoch %d/%d -> Train Loss: %.4f, Val Loss: %.4f, Val Acc: %.2f%% (%.1fs)",
+                epoch + 1, self.num_epochs, avg_loss, val_loss, val_acc, dt,
+            )
+            self.writer.scalar("Loss/Train_Epoch", avg_loss, epoch + 1)
+            self.writer.scalar("Loss/Validation", val_loss, epoch + 1)
+            self.writer.scalar("Accuracy/Validation", val_acc, epoch + 1)
+            self.writer.scalar(
+                "LearningRate", float(self.lr_schedule(self.state.step)), epoch + 1
+            )
+            saved = self.ckpt.maybe_save(epoch + 1, val_acc, self.checkpoint_state())
+            if saved:
+                log.info("  -> saved checkpoint: %s", os.path.basename(saved))
+            self.ckpt.save_last(self.checkpoint_state())
+        self.writer.close()
+        return self.state

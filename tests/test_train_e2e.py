@@ -1,0 +1,96 @@
+"""End-to-end training smoke tests on a synthetic on-disk dataset (CPU)."""
+
+import numpy as np
+import pytest
+
+from mdhs_tpu.core.config import Config
+from mdhs_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    paths = generate_synthetic_dataset(str(root), num_images=16, image_size=48)
+    return root, paths
+
+
+def make_cfg(root, paths, **model_overrides):
+    cfg = synthetic_config(paths, str(root), batch_size=4, num_epochs=2,
+                          hidden_dim=32, max_length=16)
+    cfg["data"]["canvas"] = 56
+    cfg["data"]["image_size"] = 48
+    for k, v in model_overrides.items():
+        cfg["model"][k] = v
+    return Config(cfg)
+
+
+def test_baseline_train_loop(synth, tmp_path):
+    from mdhs_tpu.train.trainer import Trainer
+
+    root, paths = synth
+    cfg = make_cfg(root, paths)
+    tr = Trainer(cfg, family="baseline", output_dir=str(tmp_path / "run"))
+    state = tr.fit()
+    assert int(state.step) == 2 * len(tr.train_loader)
+    # top-k checkpoints written
+    assert tr.ckpt.best_path() is not None
+    import os
+
+    assert os.path.exists(os.path.join(tr.output_dir, "last.msgpack"))
+    assert os.path.exists(os.path.join(tr.output_dir, "config.yml"))
+
+
+def test_baseline_loss_decreases(synth, tmp_path):
+    """A few steps on tiny synthetic data must reduce training loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdhs_tpu.train.trainer import Trainer
+
+    root, paths = synth
+    cfg = make_cfg(root, paths)
+    cfg.set("training.num_epochs", 1)
+    cfg.set("training.learning_rate", 3e-3)
+    tr = Trainer(cfg, family="baseline", output_dir=str(tmp_path / "run2"))
+    step = tr.train_step_fn()
+    batch = next(iter(tr.train_loader))
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+    losses = []
+    for i in range(8):
+        tr.state, m = step(tr.state, jb, jax.random.PRNGKey(1))
+        losses.append(float(m["loss"]))
+    # Augmentation is re-sampled every step, so the curve is noisy; require
+    # that optimization clearly bites somewhere in the window.
+    assert min(losses) < 0.5 * losses[0], losses
+
+
+def test_checkpoint_roundtrip(synth, tmp_path):
+    from mdhs_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    from mdhs_tpu.train.trainer import Trainer
+
+    root, paths = synth
+    cfg = make_cfg(root, paths)
+    cfg.set("training.num_epochs", 1)
+    tr = Trainer(cfg, family="baseline", output_dir=str(tmp_path / "run3"))
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, tr.checkpoint_state())
+    loaded = load_checkpoint(path)
+    assert "params" in loaded and "batch_stats" in loaded
+    tr.load_weights(path)  # tolerant merge should be a no-op
+
+
+def test_eval_step_with_tta(synth, tmp_path):
+    import jax.numpy as jnp
+
+    from mdhs_tpu.train.trainer import Trainer
+
+    root, paths = synth
+    cfg = make_cfg(root, paths)
+    cfg.set("training.num_epochs", 1)
+    tr = Trainer(cfg, family="baseline", output_dir=str(tmp_path / "run4"))
+    batch = next(iter(tr.val_loader))
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+    plain = tr.eval_step_fn()(tr.state, jb)
+    tta = tr.eval_step_fn(tta=True, tta_transforms=("hflip", "vflip", "rot90"))(tr.state, jb)
+    assert plain.shape == tta.shape == (4, 7)
+    assert np.isfinite(np.asarray(tta)).all()
