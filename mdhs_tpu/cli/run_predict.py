@@ -1,0 +1,34 @@
+"""Prediction CLI -> submission CSV (reference run_predict.py / scripts/predict.py)."""
+
+from __future__ import annotations
+
+import argparse
+
+from .common import build_trainer, run_prediction, write_submission
+
+
+def main(argv=None, family: str = "baseline"):
+    p = argparse.ArgumentParser(description="Predict labels for a test set")
+    p.add_argument("--image_dir", type=str, default=None)
+    p.add_argument("--json_path", type=str, default=None)
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--output_path", type=str, required=True)
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--family", type=str, default=family,
+                   choices=["baseline", "mibf", "connext"])
+    p.add_argument("--set", dest="overrides", action="append", default=[])
+    args = p.parse_args(argv)
+
+    trainer = build_trainer(
+        args.config, family=args.family, overrides=args.overrides, setup_data=False
+    )
+    trainer.load_weights(args.model_path)
+    loader = trainer.make_test_loader(args.image_dir, args.json_path)
+    tta_cfg = trainer.cfg.get("inference.tta", {})
+    ids, preds, _ = run_prediction(trainer, loader, tta_cfg=tta_cfg)
+    write_submission(args.output_path, ids, preds)
+    print(f"wrote {len(ids)} predictions to {args.output_path}")
+
+
+if __name__ == "__main__":
+    main()

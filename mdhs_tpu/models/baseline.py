@@ -311,6 +311,20 @@ class MultimodalBaselineModel(nn.Module):
         alpha = self.gate(local_feat, context_feat, entropy)
         return alpha * logits_local + (1 - alpha) * logits_context
 
+    def logits_and_taps(self, image_input, text_input_ids, text_attention_mask,
+                        tabular_input=None, ablation_mode=None):
+        """Analysis path: (logits, resnet taps) for Grad-CAM
+        (reference scripts/run_analysis.py taps stem/layer1-4)."""
+        feats, taps = self.forward_features(
+            image_input,
+            text_input_ids,
+            text_attention_mask,
+            tabular_input=tabular_input,
+            ablation_mode=ablation_mode,
+            return_taps=True,
+        )
+        return self.classifier(feats, deterministic=True), taps
+
     def features_and_logits(self, *args, **kwargs):
         """Train-loop path: forward_features + classifier (reference
         scripts/train.py:363-381 trains the ungated objective)."""

@@ -129,6 +129,9 @@ class ResNet(nn.Module):
         x = conv(64, (7, 7), (2, 2), name="stem_conv")(x)
         x = norm(name="stem_bn")(x)
         x = nn.relu(x)
+        # perturb() taps are identity in normal runs; Grad-CAM differentiates
+        # w.r.t. them to read activation gradients functionally (no hooks).
+        x = self.perturb("stem", x)
         taps = {"stem": x}
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -143,6 +146,7 @@ class ResNet(nn.Module):
                     norm=norm,
                     name=f"layer{i + 1}_block{j}",
                 )(x)
+            x = self.perturb(f"layer{i + 1}", x)
             taps[f"layer{i + 1}"] = x
         return taps
 

@@ -249,6 +249,31 @@ class Trainer:
             seed=int(cfg.get("training.seed", 0)),
         )
 
+    def make_test_loader(self, image_dir=None, json_path=None, csv_path=None):
+        """Test split with CLI-style path overrides (reference
+        scripts/predict.py:88-103, create_data_loader 'test' branch)."""
+        cfg = self.cfg
+        d = cfg.get("data")
+        image_dir = image_dir or d.get("test_image_dir")
+        json_path = json_path or d.get("test_json_path")
+        csv_path = csv_path if csv_path is not None else d.get("test_label_csv")
+        opts = DatasetOptions(
+            max_length=cfg.get("tokenizer.max_length", 128),
+            tabular_enabled=bool(cfg.get("model.tabular.enabled", False)),
+            tabular_fields=tuple(cfg.get("model.tabular.fields", ["age", "sex", "localization"]) or []),
+            metadata_csv=d.get("metadata_csv"),
+            extra_image_dirs=tuple(d.get("extra_image_dirs", []) or []),
+            pseudo_2p5d=bool(d.get("pseudo_2p5d.enabled", False)),
+            sequence=bool(d.get("sequence.enabled", False)),
+            sequence_offsets=tuple(d.get("sequence.offsets", [-2, -1, 0, 1, 2]) or []),
+            multi_view=bool(d.get("multi_view.enabled", False)),
+            num_views=int(d.get("multi_view.num_views", 2)),
+            clean_cjk_text=self.family == "mibf",
+            canvas=self.canvas,
+        )
+        ds = MultimodalDataset(image_dir, json_path, csv_path, self.tokenizer, opts)
+        return DataLoader(ds, batch_size=int(cfg.get("training.batch_size", 32)))
+
     # ------------------------------------------------------------------
     def _example_batch(self):
         S = self.canvas
