@@ -46,6 +46,8 @@ class BaselineConfig:
     text_pool: str = "cls"
     kan_num_groups: int = 8
     kan_act_mode: str = "gelu"
+    moe_num_experts: int = 4
+    moe_k: int = 2
     tabular_enabled: bool = False
     tabular_input_dim: int = 0
     tabular_hidden_dim: int = 128
@@ -88,6 +90,8 @@ class BaselineConfig:
             text_pool=m.get("text_pool", "cls"),
             kan_num_groups=m.get("kan.num_groups", 8),
             kan_act_mode=m.get("kan.act_mode", "gelu"),
+            moe_num_experts=m.get("moe.num_experts", 4),
+            moe_k=m.get("moe.k", 2),
             tabular_enabled=bool(tab.get("enabled", False)),
             tabular_input_dim=tabular_input_dim or tab.get("input_dim", 0),
             tabular_hidden_dim=tab.get("hidden_dim", 128),
@@ -177,6 +181,8 @@ class MultimodalBaselineModel(nn.Module):
             num_heads=c.num_heads,
             kan_num_groups=c.kan_num_groups,
             kan_act_mode=c.kan_act_mode,
+            moe_num_experts=c.moe_num_experts,
+            moe_k=c.moe_k,
             dtype=self.dtype,
         )
 

@@ -115,8 +115,42 @@ class KANHead(nn.Module):
         return x.astype(jnp.float32)
 
 
+@HEADS.register("moe")
+class MoEHead(nn.Module):
+    """Sparse-MoE classifier head (KAN experts, noisy top-k gating).
+
+    The reference reports an "MoE head" variant (README.md:89, 91.08% HAM)
+    built from ConNexT/models/block/moe.py. The balance loss is sown into
+    the 'aux_loss' collection; the trainer adds balance_weight * loss.
+    """
+
+    hidden_dim: int
+    num_classes: int
+    dropout: float = 0.0
+    num_experts: int = 4
+    k: int = 2
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from .moe import MoE
+
+        logits, balance = MoE(
+            input_size=self.hidden_dim,
+            output_size=self.num_classes,
+            num_experts=self.num_experts,
+            k=self.k,
+            expert_layers=(self.hidden_dim, 4 * self.hidden_dim, self.num_classes),
+            dtype=self.dtype,
+            name="moe",
+        )(x, train=not deterministic)
+        self.sow("aux_loss", "moe_balance", balance)
+        return logits.astype(jnp.float32)
+
+
 def build_head(classifier_type: str, *, hidden_dim: int, num_classes: int, dropout: float = 0.1,
                num_heads: int = 8, kan_num_groups: int = 8, kan_act_mode: str = "gelu",
+               moe_num_experts: int = 4, moe_k: int = 2,
                dtype=jnp.bfloat16, name: str = "classifier"):
     kwargs = dict(hidden_dim=hidden_dim, num_classes=num_classes, dropout=dropout,
                   dtype=dtype, name=name)
@@ -124,4 +158,6 @@ def build_head(classifier_type: str, *, hidden_dim: int, num_classes: int, dropo
         kwargs["num_heads"] = num_heads
     if classifier_type == "kan":
         kwargs.update(num_groups=kan_num_groups, act_mode=kan_act_mode)
+    if classifier_type == "moe":
+        kwargs.update(num_experts=moe_num_experts, k=moe_k)
     return HEADS.get(classifier_type)(**kwargs)

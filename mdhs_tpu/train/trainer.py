@@ -404,7 +404,7 @@ class Trainer:
             variables["kan_state"] = kan_state
         rngs = {"dropout": rng, "gating": rng}
         labels = batch["label"]
-        mutable = ["batch_stats"] if batch_stats else []
+        mutable = (["batch_stats"] if batch_stats else []) + ["aux_loss"]
 
         if self.family == "baseline":
             tab = batch.get("tabular")
@@ -437,6 +437,9 @@ class Trainer:
                     )
                 if self.supcon_enabled and self.supcon_stage == "finetune":
                     loss = loss + self.supcon_weight * supcon_loss(feats, labels, self.supcon_temp)
+            aux = new_vars.get("aux_loss", {})
+            for leaf in jax.tree_util.tree_leaves(aux):
+                loss = loss + self.balance_weight * jnp.sum(leaf)
             return loss, (new_vars, logits)
 
         if self.family == "mibf":

@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""MIBF prediction shim (reference run_predict_mibf_Spine.py surface)."""
+import sys
+from mdhs_tpu.cli.run_predict import main
+
+if __name__ == "__main__":
+    main(sys.argv[1:] + ["--family", "mibf"])
