@@ -17,10 +17,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# Parity tests compare f32 numerics against torch; on TPU the default f32
+# matmul precision is bf16-based — force true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture(scope="session")
 def rng_key():
-    import jax
-
     return jax.random.PRNGKey(0)
