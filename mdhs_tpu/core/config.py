@@ -137,7 +137,7 @@ def load_config(
     base_ref = cfg.get("_base_")
     if base_ref is not None:
         base_file = os.path.join(os.path.dirname(os.fspath(path)), base_ref)
-        base = Config.from_yaml(base_file)
+        base = load_config(base_file)  # recursive: bases may chain
         data = cfg.to_dict()
         data.pop("_base_", None)
         cfg = base.merged(data)

@@ -105,6 +105,18 @@ def _resize_center_square(img: Image.Image, size: int = CANVAS) -> Image.Image:
     return img.crop((left, top, left + size, top + size))
 
 
+def _canvas_array(img: Image.Image, size: int) -> np.ndarray:
+    """uint8 canvas via the native C++ resampler when available
+    (mdhs_tpu.native, triangle filter == PIL BILINEAR), PIL otherwise."""
+    from .. import native
+
+    if native.available():
+        out = native.resize_center_square(np.asarray(img, np.uint8), size)
+        if out is not None:
+            return out
+    return np.asarray(_resize_center_square(img, size), np.uint8)
+
+
 def build_tabular_map(metadata_csv: str, fields, normalize: str = "zscore"):
     """z-score numerics, one-hot categoricals with "unknown" bucket
     (reference data_loader.py:37-100). Returns (map: base_id -> vec, dim)."""
@@ -239,11 +251,7 @@ class MultimodalDataset:
         if path is None:
             raise FileNotFoundError(image_id)
         img = Image.open(path).convert(mode)
-        img = _resize_center_square(img, self.opts.canvas)
-        arr = np.asarray(img, np.uint8)
-        if mode == "L":
-            return arr  # (S, S)
-        return arr  # (S, S, 3)
+        return _canvas_array(img, self.opts.canvas)  # (S, S[, 3])
 
     def __getitem__(self, idx: int) -> dict:
         item = self.metadata[idx]

@@ -153,14 +153,29 @@ class WordPieceTokenizer:
 
 
 def load_tokenizer(model_name_or_path: Optional[str], vocab_size: int = 30522,
-                   lowercase: bool = True) -> WordPieceTokenizer:
-    """Resolve a tokenizer: local vocab.txt (file or dir) or synthetic fallback."""
+                   lowercase: bool = True, prefer_native: bool = True):
+    """Resolve a tokenizer: local vocab.txt (file or dir) or synthetic fallback.
+
+    Prefers the native C++ WordPiece (mdhs_tpu.native) for real vocab files;
+    the Python implementation is the fallback and the semantic reference.
+    """
     if model_name_or_path:
         path = model_name_or_path
+        vocab_file = None
         if os.path.isdir(path):
             cand = os.path.join(path, "vocab.txt")
             if os.path.exists(cand):
-                return WordPieceTokenizer.from_vocab_file(cand, lowercase)
+                vocab_file = cand
         elif os.path.isfile(path):
-            return WordPieceTokenizer.from_vocab_file(path, lowercase)
+            vocab_file = path
+        if vocab_file:
+            if prefer_native:
+                try:
+                    from .. import native
+
+                    if native.available():
+                        return native.NativeWordPiece(vocab_file, lowercase)
+                except Exception:
+                    pass
+            return WordPieceTokenizer.from_vocab_file(vocab_file, lowercase)
     return WordPieceTokenizer.synthetic(vocab_size)

@@ -1,0 +1,135 @@
+"""ctypes bindings for the native C++ host pipeline (native/*.cpp).
+
+Provides:
+- resize_center_square(img_u8, size): antialiased canvas resize+crop
+  (PIL-BILINEAR-equivalent triangle filter)
+- NativeWordPiece: vocab.txt WordPiece tokenizer
+
+The library auto-builds with g++ on first use; every entry point degrades
+gracefully to the pure-Python implementations when the toolchain or .so is
+unavailable, so nothing here is a hard dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libmdhs_native.so"))
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as exc:  # toolchain missing, etc.
+        log.info("native build skipped: %s", exc)
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and os.path.isdir(_NATIVE_DIR):
+            _build()
+        if not os.path.exists(_LIB_PATH):
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.resize_center_square_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        lib.resize_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.wp_create.restype = ctypes.c_void_p
+        lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.wp_free.argtypes = [ctypes.c_void_p]
+        lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
+        lib.wp_vocab_size.restype = ctypes.c_int
+        lib.wp_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.wp_encode.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def resize_center_square(img: np.ndarray, size: int) -> np.ndarray | None:
+    """uint8 HWC (or HW) image -> (size, size, C). None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    out = np.empty((size, size, c), np.uint8)
+    lib.resize_center_square_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), size,
+    )
+    return out[..., 0] if squeeze else out
+
+
+class NativeWordPiece:
+    """Drop-in encode() compatible with data.tokenizer.WordPieceTokenizer."""
+
+    def __init__(self, vocab_path: str, lowercase: bool = True):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.wp_create(vocab_path.encode(), int(lowercase))
+        if not self._h:
+            raise FileNotFoundError(vocab_path)
+        self.vocab_size = lib.wp_vocab_size(self._h)
+        self.pad_id = 0
+
+    def encode(self, text: str, max_length: int = 128):
+        ids = np.empty(max_length, np.int32)
+        mask = np.empty(max_length, np.int32)
+        self._lib.wp_encode(
+            self._h, (text or "").encode("utf-8", errors="ignore"), max_length,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        return ids, mask
+
+    def encode_batch(self, texts, max_length: int = 128):
+        pairs = [self.encode(t, max_length) for t in texts]
+        return np.stack([p[0] for p in pairs]), np.stack([p[1] for p in pairs])
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.wp_free(self._h)
+        except Exception:
+            pass
