@@ -190,6 +190,10 @@ class DatasetOptions:
     num_views: int = 2
     clean_cjk_text: bool = False
     canvas: int = CANVAS
+    # optional precomputed LLM hidden-state vectors per image
+    # (reference ConNexT/dataset/pl_datset.py:94-158, dims 3584/5120, zero-fill)
+    llm_hidden_json: Optional[str] = None
+    llm_hidden_dim: int = 3584
 
 
 class MultimodalDataset:
@@ -223,6 +227,17 @@ class MultimodalDataset:
         log.info("loaded %d records (%d without description)", len(self.metadata), missing)
         if not self.metadata:
             raise ValueError("dataset join produced no records; check paths")
+
+        self.llm_hidden_map = None
+        if self.opts.llm_hidden_json:
+            with open(self.opts.llm_hidden_json, "r", encoding="utf-8") as f:
+                raw = json.load(f)
+            self.llm_hidden_map = {}
+            for key, val in raw.items():
+                base = os.path.splitext(os.path.basename(key))[0]
+                first = np.asarray(val.get("first_hidden_state", []), np.float32)
+                last = np.asarray(val.get("last_hidden_state", []), np.float32)
+                self.llm_hidden_map[base] = (first, last)
 
         self.tabular_map, self.tabular_dim = (None, 0)
         if self.opts.tabular_enabled:
@@ -302,6 +317,21 @@ class MultimodalDataset:
             record["tabular"] = self.tabular_map.get(
                 base, np.zeros(self.tabular_dim, np.float32)
             )
+        if self.llm_hidden_map is not None:
+            base = os.path.splitext(image_id)[0]
+            dim = self.opts.llm_hidden_dim
+            first, last = self.llm_hidden_map.get(
+                base, (np.zeros(0, np.float32), np.zeros(0, np.float32))
+            )
+
+            def fit(vec):
+                out = np.zeros(dim, np.float32)
+                n = min(dim, vec.shape[0])
+                out[:n] = vec[:n]
+                return out
+
+            record["first_hidden"] = fit(first)
+            record["last_hidden"] = fit(last)
         return record
 
 

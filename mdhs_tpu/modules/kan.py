@@ -171,9 +171,10 @@ def kan_update_grid(params, kan_state, x, layer_path, *, grid_size=5, spline_ord
 
     p = flax.traverse_util.flatten_dict(params, sep="/")
     s = flax.traverse_util.flatten_dict(kan_state, sep="/")
-    grid = s[f"{layer_path}/grid"]
-    spline_w = p[f"{layer_path}/spline_weight"]
-    scaler = p.get(f"{layer_path}/spline_scaler")
+    pre = f"{layer_path}/" if layer_path else ""
+    grid = s[f"{pre}grid"]
+    spline_w = p[f"{pre}spline_weight"]
+    scaler = p.get(f"{pre}spline_scaler")
 
     x = x.reshape(-1, grid.shape[0]).astype(jnp.float32)
     batch = x.shape[0]
@@ -196,8 +197,8 @@ def kan_update_grid(params, kan_state, x, layer_path, *, grid_size=5, spline_ord
     new_coeff = curve2coeff(x, unreduced, new_grid, spline_order)
     if scaler is not None:
         new_coeff = new_coeff / jnp.where(jnp.abs(scaler[..., None]) < 1e-8, 1.0, scaler[..., None])
-    p[f"{layer_path}/spline_weight"] = new_coeff.astype(spline_w.dtype)
-    s[f"{layer_path}/grid"] = new_grid
+    p[f"{pre}spline_weight"] = new_coeff.astype(spline_w.dtype)
+    s[f"{pre}grid"] = new_grid
     return (
         flax.traverse_util.unflatten_dict(p, sep="/"),
         flax.traverse_util.unflatten_dict(s, sep="/"),

@@ -237,6 +237,8 @@ class Trainer:
             num_views=int(d.get("multi_view.num_views", 2)),
             clean_cjk_text=self.family == "mibf",
             canvas=self.canvas,
+            llm_hidden_json=d.get(f"{split}_llm_hidden_json") or d.get("llm_hidden_json"),
+            llm_hidden_dim=int(d.get("llm_hidden_dim", 3584)),
         )
         ds = MultimodalDataset(image_dir, json_path, csv_path, self.tokenizer, opts)
         is_train = split == "train"
@@ -270,6 +272,8 @@ class Trainer:
             num_views=int(d.get("multi_view.num_views", 2)),
             clean_cjk_text=self.family == "mibf",
             canvas=self.canvas,
+            llm_hidden_json=d.get("test_llm_hidden_json") or d.get("llm_hidden_json"),
+            llm_hidden_dim=int(d.get("llm_hidden_dim", 3584)),
         )
         ds = MultimodalDataset(image_dir, json_path, csv_path, self.tokenizer, opts)
         return DataLoader(ds, batch_size=int(cfg.get("training.batch_size", 32)))
@@ -462,6 +466,8 @@ class Trainer:
             images,
             batch["input_ids"],
             batch["attention_mask"],
+            first_hidden=batch.get("first_hidden"),
+            last_hidden=batch.get("last_hidden"),
             train=True,
             deterministic=False,
             rngs=rngs,
@@ -495,7 +501,9 @@ class Trainer:
     def eval_step_fn(self, ablation_mode=None, tta: bool = False, tta_transforms=None):
         from ..ops.tta import tta_logits
 
-        def apply_logits(variables, images, input_ids, attention_mask, tabular):
+        def apply_logits(variables, images, input_ids, attention_mask, tabular,
+                         extra=None):
+            extra = extra or {}
             if self.family == "baseline":
                 return self.model.apply(
                     variables,
@@ -508,7 +516,11 @@ class Trainer:
             if self.family == "mibf":
                 out = self.model.apply(variables, images, input_ids, attention_mask)
                 return out["image_text"]
-            logits, _ = self.model.apply(variables, images, input_ids, attention_mask)
+            logits, _ = self.model.apply(
+                variables, images, input_ids, attention_mask,
+                first_hidden=extra.get("first_hidden"),
+                last_hidden=extra.get("last_hidden"),
+            )
             return logits
 
         def step(state: TrainState, batch):
@@ -519,9 +531,10 @@ class Trainer:
                 variables["kan_state"] = state.kan_state
             images = self._preprocess_eval(batch["image"])
             tab = batch.get("tabular")
+            extra = {k: batch[k] for k in ("first_hidden", "last_hidden") if k in batch}
             if tta:
                 logits = tta_logits(
-                    lambda im, ii, am: apply_logits(variables, im, ii, am, tab),
+                    lambda im, ii, am: apply_logits(variables, im, ii, am, tab, extra),
                     images,
                     batch["input_ids"],
                     batch["attention_mask"],
@@ -529,7 +542,8 @@ class Trainer:
                 )
             else:
                 logits = apply_logits(
-                    variables, images, batch["input_ids"], batch["attention_mask"], tab
+                    variables, images, batch["input_ids"], batch["attention_mask"],
+                    tab, extra,
                 )
             return logits
 

@@ -1,0 +1,70 @@
+"""Backbone shape tests: ResNet taps, ConvNeXt, MambaVision, BERT hidden states."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("backbone,c4", [("resnet18", 512), ("resnet50", 2048)])
+def test_resnet_taps(backbone, c4):
+    from mdhs_tpu.models.resnet import ResNet
+
+    m = ResNet(backbone=backbone, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r: m.init(r, x))(KEY)
+    taps = jax.jit(lambda v, x: m.apply(v, x))(
+        {k: v[k] for k in ("params", "batch_stats")}, x
+    )
+    assert taps["layer4"].shape == (1, 2, 2, c4)
+    assert taps["layer2"].shape[-1] == c4 // 4
+    assert set(taps) == {"stem", "layer1", "layer2", "layer3", "layer4"}
+
+
+def test_convnext_map():
+    from mdhs_tpu.models.convnext import ConvNeXt
+
+    m = ConvNeXt(variant="tiny", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r: m.init(r, x))(KEY)
+    out = jax.jit(m.apply)(v, x)
+    assert out.shape == (1, 2, 2, 768)
+
+
+def test_mamba_vision_encoder():
+    from mdhs_tpu.models.mamba_vision import MambaVisionEncoder
+
+    m = MambaVisionEncoder(variant="T", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r: m.init(r, x))(KEY)
+    out = jax.jit(lambda v, x: m.apply(v, x))(
+        {k: v[k] for k in ("params", "batch_stats")}, x
+    )
+    assert out.shape == (1, 4, 640)  # 64/32=2 -> 2x2 tokens, dim 80*8
+
+
+def test_bert_hidden_states():
+    from mdhs_tpu.models.bert import BertConfig, BertModel
+
+    cfg = BertConfig.tiny()
+    m = BertModel(cfg, dtype=jnp.float32)
+    ids = jnp.zeros((2, 12), jnp.int32)
+    v = jax.jit(lambda r: m.init(r, ids))(KEY)
+    last, all_h = jax.jit(m.apply)(v, ids)
+    assert last.shape == (2, 12, cfg.hidden_size)
+    assert len(all_h) == cfg.num_hidden_layers + 1  # embeddings + each layer
+
+
+def test_multimodal_mamba_fusion():
+    from mdhs_tpu.modules.multimodal_mamba import MultimodalMamba
+
+    m = MultimodalMamba(text_dim=32, img_dim=24, hidden_dim=48, proj_dim=16,
+                        use_kan_attention=True, num_heads=2, dtype=jnp.float32)
+    text = jnp.zeros((2, 32))
+    img = jnp.zeros((2, 9, 24))
+    fh = jnp.zeros((2, 48))
+    lh = jnp.zeros((2, 48))
+    v = jax.jit(lambda r: m.init(r, text, img, fh, lh))(KEY)
+    out = jax.jit(m.apply)(v, text, img, fh, lh)
+    assert out.shape == (2, 12, 16)  # 1 + 9 + 1 + 1 tokens

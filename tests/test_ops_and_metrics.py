@@ -1,0 +1,120 @@
+"""Device-side ops (augment/TTA/stain norm) and metrics vs sklearn."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_eval_pipeline_matches_torchvision_semantics():
+    from mdhs_tpu.ops.preprocess import eval_pipeline
+
+    img = np.random.default_rng(0).integers(0, 255, (2, 72, 72, 3), np.uint8)
+    out = np.asarray(eval_pipeline(jnp.asarray(img), 64, dtype=jnp.float32))
+    assert out.shape == (2, 64, 64, 3)
+    # normalized with ImageNet stats: channel means near zero-ish range
+    crop = img[:, 4:68, 4:68, :].astype(np.float32) / 255.0
+    ref = (crop - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_train_pipeline_shapes_and_range():
+    from mdhs_tpu.ops.augment import train_pipeline
+
+    img = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (4, 72, 72, 3), np.uint8)
+    )
+    out = train_pipeline(KEY, img, out_size=64, normalize=False)
+    assert out.shape == (4, 64, 64, 3)
+    o = np.asarray(out, np.float32)
+    assert o.min() >= -1e-3 and o.max() <= 1.0 + 1e-3
+    # different keys produce different crops
+    out2 = train_pipeline(jax.random.PRNGKey(1), img, out_size=64, normalize=False)
+    assert np.abs(o - np.asarray(out2, np.float32)).max() > 1e-3
+
+
+def test_tta_variants_geometry():
+    from mdhs_tpu.ops.tta import tta_variants
+
+    img = jnp.arange(2 * 4 * 4 * 1, dtype=jnp.float32).reshape(2, 4, 4, 1)
+    v = tta_variants(img)
+    assert v.shape == (4, 2, 4, 4, 1)
+    np.testing.assert_array_equal(np.asarray(v[1]), np.asarray(img)[:, :, ::-1])
+    np.testing.assert_array_equal(np.asarray(v[2]), np.asarray(img)[:, ::-1])
+    # rot90 applied twice = vflip+hflip
+    r = np.asarray(v[3])
+    assert r.shape == (2, 4, 4, 1)
+
+
+def test_tta_fused_equals_looped():
+    """Fused TTA must equal the reference's loop-and-average."""
+    from mdhs_tpu.ops.tta import tta_logits, tta_variants
+
+    W = np.random.default_rng(0).normal(size=(16, 3)).astype(np.float32)
+
+    def apply_fn(images):
+        return jnp.asarray(images.reshape(images.shape[0], -1) @ W)
+
+    img = jnp.asarray(np.random.default_rng(1).normal(size=(2, 2, 2, 4)).astype(np.float32))
+    fused = np.asarray(tta_logits(apply_fn, img))
+    looped = np.mean([np.asarray(apply_fn(v)) for v in tta_variants(img)], axis=0)
+    np.testing.assert_allclose(fused, looped, atol=1e-5)
+
+
+def test_stain_normalize_moments():
+    from mdhs_tpu.ops.stain_norm import rgb_to_lab_u8, stain_normalize
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0.2, 0.8, (2, 32, 32, 3)).astype(np.float32))
+    tm = [150.0, 140.0, 140.0]
+    ts = [20.0, 20.0, 20.0]
+    out = stain_normalize(img, tm, ts)
+    assert out.shape == img.shape
+    lab = np.asarray(rgb_to_lab_u8(out))
+    # moments moved toward the target (clipping makes it approximate)
+    means = lab.reshape(2, -1, 3).mean(axis=1)
+    assert np.all(np.abs(means - np.asarray(tm)) < 20.0)
+
+
+def test_metrics_vs_sklearn():
+    sk = pytest.importorskip("sklearn.metrics")
+    from mdhs_tpu.train.metrics import classification_report
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(64, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, 64)
+    rep = classification_report(jnp.asarray(logits), jnp.asarray(labels), 5)
+    preds = logits.argmax(-1)
+
+    assert abs(float(rep["accuracy"]) - sk.accuracy_score(labels, preds)) < 1e-6
+    assert abs(
+        float(rep["f1_macro"]) - sk.f1_score(labels, preds, average="macro")
+    ) < 1e-5
+    assert abs(
+        float(rep["precision_macro"])
+        - sk.precision_score(labels, preds, average="macro", zero_division=0)
+    ) < 1e-5
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    ref_auc = sk.roc_auc_score(labels, probs, multi_class="ovr", average="macro")
+    assert abs(float(rep["auroc_macro"]) - ref_auc) < 1e-3
+
+
+def test_kan_update_grid_preserves_function():
+    import flax
+
+    from mdhs_tpu.modules.kan import KANLinear, kan_update_grid
+
+    m = KANLinear(8, 4, dtype=jnp.float32)
+    x = jax.random.normal(KEY, (64, 8)) * 0.5
+    v = jax.jit(lambda r, x: m.init(r, x))(KEY, x)
+    y_before = m.apply(v, x)
+    new_params, new_state = kan_update_grid(
+        v["params"], v["kan_state"], x, layer_path="", grid_size=5, spline_order=3
+    )
+    # layer_path "" -> keys at root
+    y_after = m.apply({"params": new_params, "kan_state": new_state}, x)
+    np.testing.assert_allclose(
+        np.asarray(y_before), np.asarray(y_after), atol=0.05, rtol=0.1
+    )
