@@ -1,0 +1,88 @@
+"""CLI round-trip on synthetic data: train -> predict CSV -> evaluate ->
+ablation YAML (the reference's full run_* surface, SURVEY.md §3)."""
+
+import csv
+import glob
+import os
+
+import pytest
+import yaml
+
+from mdhs_tpu.core.config import Config
+from mdhs_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    paths = generate_synthetic_dataset(str(root), num_images=12, image_size=48)
+    cfg = synthetic_config(paths, str(root), batch_size=4, num_epochs=1, max_length=16)
+    cfg["data"]["canvas"] = 56
+    cfg["data"]["image_size"] = 48
+    cfg_path = os.path.join(str(root), "config.yml")
+    Config(cfg).save(cfg_path)
+
+    from mdhs_tpu.cli.run_train import main as train_main
+
+    trainer = train_main(["--config", cfg_path])
+    ckpts = glob.glob(os.path.join(trainer.output_dir, "epoch_*.msgpack"))
+    assert ckpts, "no checkpoint written"
+    return root, paths, cfg_path, ckpts[0]
+
+
+def test_predict_cli(trained, tmp_path):
+    from mdhs_tpu.cli.run_predict import main as predict_main
+
+    root, paths, cfg_path, ckpt = trained
+    out_csv = str(tmp_path / "submission.csv")
+    predict_main([
+        "--config", cfg_path, "--model_path", ckpt,
+        "--image_dir", paths["image_dir"], "--json_path", paths["json_path"],
+        "--output_path", out_csv,
+    ])
+    with open(out_csv) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 12
+    assert set(rows[0]) == {"image_id", "predicted_label"}
+    assert all(0 <= int(r["predicted_label"]) < 7 for r in rows)
+
+
+def test_evaluate_cli(trained, tmp_path):
+    from mdhs_tpu.cli.run_evaluate import main as eval_main
+
+    root, paths, cfg_path, ckpt = trained
+    report_path = str(tmp_path / "report.json")
+    out = eval_main([
+        "--config", cfg_path, "--model_path", ckpt, "--report_json", report_path,
+    ])
+    assert 0.0 <= out["accuracy"] <= 100.0
+    assert os.path.exists(report_path)
+    assert len(out["confusion_matrix"]) == 7
+
+
+def test_ablation_cli(trained, tmp_path):
+    from mdhs_tpu.cli.run_ablation_eval import main as abl_main
+
+    root, paths, cfg_path, ckpt = trained
+    out_yaml = str(tmp_path / "ablation.yml")
+    results = abl_main([
+        "--config", cfg_path, "--model_path", ckpt, "--output", out_yaml,
+    ])
+    assert set(results) == {"full_fusion", "image_only", "text_off"}
+    with open(out_yaml) as f:
+        data = yaml.safe_load(f)
+    assert data["results"] == results
+
+
+def test_analysis_cli(trained, tmp_path):
+    from mdhs_tpu.cli.run_analysis import main as analysis_main
+
+    root, paths, cfg_path, ckpt = trained
+    out_dir = str(tmp_path / "analysis")
+    result = analysis_main([
+        "--config", cfg_path, "--model_path", ckpt,
+        "--output_dir", out_dir, "--num_cam_images", "3",
+    ])
+    assert result["effective_rank"] > 0
+    cams = glob.glob(os.path.join(out_dir, "cam_*.jpg"))
+    assert len(cams) == 3
