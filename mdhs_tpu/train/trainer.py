@@ -571,6 +571,34 @@ class Trainer:
             total += n_valid
         return total_loss / max(1, n_batches), 100.0 * correct / max(1, total)
 
+    def log_validation_report(self, eval_step, epoch: int):
+        """Macro + per-class P/R/F1 + AUROC each epoch (parity with the
+        ConNexT torchmetrics collections, pl_model_MOE2.py:120-193)."""
+        from .metrics import classification_report
+
+        if self.val_loader is None:
+            return None
+        logits_all, labels_all = [], []
+        for batch in self.val_loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+            logits = np.asarray(eval_step(self.state, jb), np.float32)
+            n = int(batch["n_valid"])
+            logits_all.append(logits[:n])
+            labels_all.append(np.asarray(batch["label"][:n]))
+        logits = jnp.asarray(np.concatenate(logits_all))
+        labels = jnp.asarray(np.concatenate(labels_all))
+        num_classes = self.cfg.get("model.num_classes", 7)
+        rep = classification_report(logits, labels, num_classes)
+        class_names = self.cfg.get("data.class_names") or [
+            f"class_{i}" for i in range(num_classes)
+        ]
+        for tag in ("precision_macro", "recall_macro", "f1_macro", "auroc_macro"):
+            self.writer.scalar(f"val/{tag}", float(rep[tag]), epoch)
+        for metric, values in rep["per_class"].items():
+            for i, v in enumerate(np.asarray(values)):
+                self.writer.scalar(f"per_class/{metric}_{class_names[i]}", float(v), epoch)
+        return rep
+
     def checkpoint_state(self):
         return {
             "params": self.state.params,
@@ -598,20 +626,32 @@ class Trainer:
         eval_step = self.eval_step_fn()
         rng = self.rng
         global_step = 0
+        prof_cfg = self.cfg.get("training.profile", {})
+        prof_steps = int(prof_cfg.get("steps", 20)) if prof_cfg.get("enabled") else 0
+        if prof_steps:
+            jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
+        log_every = int(self.cfg.get("training.log_every", 100))
         for epoch in range(self.num_epochs):
             t0 = time.time()
-            total_loss, n_batches = 0.0, 0
+            # keep losses on device; fetch only at logging points / epoch end
+            losses, n_batches = [], 0
             for batch in self.train_loader:
                 jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
                 self.state, m = train_step(self.state, jb, rng)
-                loss = float(m["loss"])
-                total_loss += loss
+                losses.append(m["loss"])
                 n_batches += 1
                 global_step += 1
-                if global_step % 100 == 0:
-                    self.writer.scalar("Loss/Train_Batch", loss, global_step)
-            avg_loss = total_loss / max(1, n_batches)
+                if prof_steps and global_step == prof_steps:
+                    jax.block_until_ready(m["loss"])
+                    jax.profiler.stop_trace()
+                    log.info("profiler trace written to %s/profile", self.output_dir)
+                    prof_steps = 0
+                if global_step % log_every == 0:
+                    self.writer.scalar("Loss/Train_Batch", float(m["loss"]), global_step)
+            avg_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
             val_loss, val_acc = self.validate(eval_step)
+            if bool(self.cfg.get("training.log_per_class", False)):
+                self.log_validation_report(eval_step, epoch + 1)
             dt = time.time() - t0
             log.info(
                 "Epoch %d/%d -> Train Loss: %.4f, Val Loss: %.4f, Val Acc: %.2f%% (%.1fs)",
@@ -626,6 +666,9 @@ class Trainer:
             saved = self.ckpt.maybe_save(epoch + 1, val_acc, self.checkpoint_state())
             if saved:
                 log.info("  -> saved checkpoint: %s", os.path.basename(saved))
-            self.ckpt.save_last(self.checkpoint_state())
+            self.ckpt.save_last(
+                {**self.checkpoint_state(),
+                 "opt_state": flax.serialization.to_state_dict(self.state.opt_state)}
+            )
         self.writer.close()
         return self.state
