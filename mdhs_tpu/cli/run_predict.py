@@ -16,6 +16,9 @@ def main(argv=None, family: str = "baseline"):
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--family", type=str, default=family,
                    choices=["baseline", "mibf", "connext"])
+    p.add_argument("--save_probs", type=str, default=None,
+                   help="optionally write per-class softmax probabilities CSV "
+                        "(parity with mibf_net/predict_resnet_ham_image.py)")
     p.add_argument("--set", dest="overrides", action="append", default=[])
     args = p.parse_args(argv)
 
@@ -25,8 +28,20 @@ def main(argv=None, family: str = "baseline"):
     trainer.load_weights(args.model_path)
     loader = trainer.make_test_loader(args.image_dir, args.json_path)
     tta_cfg = trainer.cfg.get("inference.tta", {})
-    ids, preds, _ = run_prediction(trainer, loader, tta_cfg=tta_cfg)
+    ids, preds, logits = run_prediction(trainer, loader, tta_cfg=tta_cfg)
     write_submission(args.output_path, ids, preds)
+    if args.save_probs:
+        import csv
+
+        import numpy as np
+
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = probs / probs.sum(-1, keepdims=True)
+        with open(args.save_probs, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["image_id"] + [f"prob_{i}" for i in range(probs.shape[1])])
+            for i, row in zip(ids, probs):
+                w.writerow([i] + [f"{p_:.6f}" for p_ in row])
     print(f"wrote {len(ids)} predictions to {args.output_path}")
 
 

@@ -1,0 +1,47 @@
+"""Multi-host initialization.
+
+TPU-native replacement for the reference's DDP bootstrap
+(mibf_net/train_resnet.py:84-88: RANK/WORLD_SIZE env ->
+init_process_group("nccl")). On TPU pods, `jax.distributed.initialize`
+wires hosts over DCN; every host then sees the global device set and the
+same Mesh code paths work unchanged — collectives ride ICI within a slice
+and DCN across hosts, all emitted by XLA.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+
+log = logging.getLogger(__name__)
+
+
+def initialize_multihost() -> bool:
+    """Initialize jax.distributed from standard env vars if present.
+
+    Recognizes either JAX-style (COORDINATOR_ADDRESS, NUM_PROCESSES,
+    PROCESS_ID) or torchrun-style (MASTER_ADDR/MASTER_PORT, WORLD_SIZE,
+    RANK) variables, mirroring the reference's env-triggered DDP. Returns
+    True if distributed mode was initialized.
+    """
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    nproc = os.environ.get("NUM_PROCESSES")
+    pid = os.environ.get("PROCESS_ID")
+    if coord is None and "MASTER_ADDR" in os.environ and "WORLD_SIZE" in os.environ:
+        coord = f"{os.environ['MASTER_ADDR']}:{os.environ.get('MASTER_PORT', '1234')}"
+        nproc = os.environ["WORLD_SIZE"]
+        pid = os.environ.get("RANK", "0")
+    if coord is None or nproc is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(nproc),
+        process_id=int(pid or 0),
+    )
+    log.info(
+        "jax.distributed initialized: process %s/%s, %d global devices",
+        pid, nproc, len(jax.devices()),
+    )
+    return True

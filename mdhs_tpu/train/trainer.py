@@ -631,6 +631,9 @@ class Trainer:
         if prof_steps:
             jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
         log_every = int(self.cfg.get("training.log_every", 100))
+        es_cfg = self.cfg.get("training.early_stopping", {})
+        es_patience = int(es_cfg.get("patience", 0)) if es_cfg.get("enabled") else 0
+        best_val, es_bad = -float("inf"), 0
         for epoch in range(self.num_epochs):
             t0 = time.time()
             # keep losses on device; fetch only at logging points / epoch end
@@ -666,6 +669,19 @@ class Trainer:
             saved = self.ckpt.maybe_save(epoch + 1, val_acc, self.checkpoint_state())
             if saved:
                 log.info("  -> saved checkpoint: %s", os.path.basename(saved))
+            if es_patience:
+                if val_acc > best_val + float(es_cfg.get("min_delta", 0.0)):
+                    best_val, es_bad = val_acc, 0
+                else:
+                    es_bad += 1
+                    if es_bad >= es_patience:
+                        log.info("early stopping at epoch %d (patience %d)",
+                                 epoch + 1, es_patience)
+                        self.ckpt.save_last(
+                            {**self.checkpoint_state(),
+                             "opt_state": flax.serialization.to_state_dict(self.state.opt_state)}
+                        )
+                        break
             self.ckpt.save_last(
                 {**self.checkpoint_state(),
                  "opt_state": flax.serialization.to_state_dict(self.state.opt_state)}
