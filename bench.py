@@ -49,7 +49,11 @@ N_TIMED = 3
 
 
 def main():
-    model = MIBFNet(num_labels=NUM_CLASSES, bert=BertConfig(), dtype=jnp.bfloat16)
+    # fast_math: bf16 softmax + tanh GELU — the framework's serving preset
+    # (config knob model.fast_math; exact-parity mode is the default).
+    model = MIBFNet(
+        num_labels=NUM_CLASSES, bert=BertConfig(fast_math=True), dtype=jnp.bfloat16
+    )
     rng = jax.random.PRNGKey(0)
     images_u8 = jnp.asarray(
         np.random.default_rng(0).integers(0, 255, (BATCH, CANVAS, CANVAS, 3), np.uint8)

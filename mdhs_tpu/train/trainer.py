@@ -68,10 +68,13 @@ class TrainState:
 
 def bert_config_from(cfg: Config, vocab_size: int) -> BertConfig:
     preset = cfg.get("model.text_encoder.preset", "base")
+    fast = bool(cfg.get("model.fast_math", False))
     if preset == "tiny":
         base = BertConfig.tiny()
-        return dataclasses.replace(base, vocab_size=max(vocab_size, base.vocab_size))
-    return BertConfig(vocab_size=max(vocab_size, 30522))
+        return dataclasses.replace(
+            base, vocab_size=max(vocab_size, base.vocab_size), fast_math=fast
+        )
+    return BertConfig(vocab_size=max(vocab_size, 30522), fast_math=fast)
 
 
 def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype=None):
