@@ -127,7 +127,7 @@ class MultimodalBaselineModel(nn.Module):
         self.image_encoder = ImageTokenEncoder(
             feature_dim=c.hidden_dim,
             backbone=c.image_backbone,
-            multi_scale=(c.fusion_type == "multiscale"),
+            multi_scale=(c.fusion_type in ("multiscale", "hierarchical")),
             dtype=self.dtype,
         )
         self.text_encoder = TextEncoder(c.bert, dtype=self.dtype)
@@ -253,16 +253,26 @@ class MultimodalBaselineModel(nn.Module):
         if ablation_mode == "image_only":
             return (pooled_image, taps) if return_taps else pooled_image
 
-        text_tokens, _ = self.text_encoder(
+        text_tokens, text_hidden = self.text_encoder(
             text_input_ids, text_attention_mask, deterministic=deterministic
         )
         if ablation_mode == "text_off":
             text_tokens = jnp.zeros_like(text_tokens)
+            text_hidden = tuple(jnp.zeros_like(h) for h in text_hidden)
 
-        if c.sequence_enabled and c.fusion_type == "multiscale" and not isinstance(tokens, dict):
+        if (c.sequence_enabled and c.fusion_type in ("multiscale", "hierarchical")
+                and not isinstance(tokens, dict)):
             tokens = {k: tokens for k in ("layer2", "layer3", "layer4")}
 
-        fused = self.fusion(tokens, text_tokens, text_attention_mask, deterministic=deterministic)
+        if c.fusion_type == "hierarchical":
+            fused = self.fusion(
+                tokens, text_tokens, text_attention_mask,
+                deterministic=deterministic, text_hidden_states=text_hidden,
+            )
+        else:
+            fused = self.fusion(
+                tokens, text_tokens, text_attention_mask, deterministic=deterministic
+            )
 
         if c.tabular_enabled:
             if tabular_input is None:

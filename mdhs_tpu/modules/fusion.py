@@ -220,6 +220,51 @@ class BilinearFusion(nn.Module):
         return nn.LayerNorm(dtype=self.dtype, name="norm")(out)
 
 
+@FUSIONS.register("hierarchical")
+class HierarchicalFusion(nn.Module):
+    """ResNet layer2/3/4 x BERT hidden-layer 4/8/12 adaptive-weighted fusion.
+
+    Each image scale cross-attends to a depth-matched BERT hidden state
+    (shallow<->shallow, deep<->deep); the three pooled streams are combined
+    with learned softmax weights (the "adaptive-weighted" part). This is
+    the hierarchical-features configuration called out in the rebuild's
+    north star (BASELINE.json configs[2]); it needs the full BERT
+    hidden-state stack, which our text encoder returns natively.
+    """
+
+    text_dim: int
+    hidden_dim: int
+    num_heads: int = 4
+    dropout: float = 0.1
+    text_pool: str = "cls"
+    text_layers: tuple = (4, 8, 12)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, img_tokens, txt_tokens, txt_mask=None, deterministic: bool = True,
+                 text_hidden_states=None):
+        if not isinstance(img_tokens, dict):
+            img_tokens = {k: img_tokens for k in ("layer2", "layer3", "layer4")}
+        if text_hidden_states is None:
+            text_hidden_states = (txt_tokens,) * (max(self.text_layers) + 1)
+        pooled = []
+        for key, t_layer in zip(("layer2", "layer3", "layer4"), self.text_layers):
+            t_idx = min(t_layer, len(text_hidden_states) - 1)
+            txt = text_hidden_states[t_idx]
+            t = CrossAttentionBlock(
+                self.text_dim,
+                self.hidden_dim,
+                self.num_heads,
+                self.dropout,
+                dtype=self.dtype,
+                name=f"cross_{key}",
+            )(img_tokens[key], txt, txt_mask, deterministic)
+            pooled.append(t.mean(axis=1))
+        w = self.param("scale_weights", nn.initializers.zeros, (3,))
+        w = nn.softmax(w.astype(jnp.float32)).astype(pooled[0].dtype)
+        return w[0] * pooled[0] + w[1] * pooled[1] + w[2] * pooled[2]
+
+
 @FUSIONS.register("mamba")
 class SSMFusion(nn.Module):
     """Image tokens + broadcast pooled text through a Mamba block, mean pool.
@@ -281,6 +326,6 @@ def build_fusion(fusion_type: str, *, text_dim: int, hidden_dim: int, num_heads:
                  dropout: float = 0.1, text_pool: str = "cls", dtype=jnp.bfloat16, name="fusion"):
     cls = FUSIONS.get(fusion_type)
     kwargs = dict(text_dim=text_dim, hidden_dim=hidden_dim, text_pool=text_pool, dtype=dtype, name=name)
-    if fusion_type in ("basic", "multiscale"):
+    if fusion_type in ("basic", "multiscale", "hierarchical"):
         kwargs.update(num_heads=num_heads, dropout=dropout)
     return cls(**kwargs)

@@ -107,3 +107,9 @@ def test_neighbor_name():
     assert neighbor_name("case003_0.jpg", -1) == "case003_0.jpg"  # clamped
     assert neighbor_name("img42.png", 2) == "img44.png"
     assert neighbor_name("noindex.jpg", 1) == "noindex.jpg"
+
+
+def test_hierarchical_fusion_e2e(synth, tmp_path):
+    root, paths = synth
+    cfg = make_cfg(root, paths, model__fusion_type="hierarchical")
+    run_one_step(cfg, tmp_path, "hier")

@@ -152,3 +152,19 @@ def test_mamba_block_causality():
     y2 = jax.jit(m.apply)(v, x2)
     np.testing.assert_allclose(np.asarray(y1[:, :4]), np.asarray(y2[:, :4]), atol=1e-4)
     assert np.abs(np.asarray(y1[:, 8:]) - np.asarray(y2[:, 8:])).max() > 1e-3
+
+
+def test_hierarchical_fusion():
+    """ResNet l2/l3/l4 x BERT hidden 4/8/12 adaptive-weighted fusion."""
+    img = {k: jax.random.normal(KEY, (2, 8, 16)) for k in ("layer2", "layer3", "layer4")}
+    txt = jax.random.normal(KEY, (2, 6, 24))
+    hidden = tuple(jax.random.normal(jax.random.PRNGKey(i), (2, 6, 24)) for i in range(13))
+    mask = jnp.ones((2, 6), jnp.int32)
+    fu = build_fusion("hierarchical", text_dim=24, hidden_dim=16, dtype=F32)
+    v = jax.jit(lambda r: fu.init(r, img, txt, mask, text_hidden_states=hidden))(KEY)
+    out = jax.jit(lambda v: fu.apply(v, img, txt, mask, text_hidden_states=hidden))(v)
+    assert out.shape == (2, 16)
+    # different hidden states must change the output (layers actually used)
+    hidden2 = tuple(h + 1.0 for h in hidden)
+    out2 = jax.jit(lambda v: fu.apply(v, img, txt, mask, text_hidden_states=hidden2))(v)
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-4
