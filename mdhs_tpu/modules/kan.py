@@ -113,13 +113,16 @@ class KANLinear(nn.Module):
         return self.spline_weight
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.kan_spline import kan_forward
+
         orig_shape = x.shape
-        x2 = x.reshape(-1, self.in_features)
-        base = nn.silu(x2.astype(jnp.float32)) @ self.base_weight.T
-        bases = b_splines(x2, self.grid.value, self.spline_order)
-        sw = self.scaled_spline_weight().reshape(self.out_features, -1)
-        spline = bases.reshape(x2.shape[0], -1) @ sw.T
-        out = (base + spline).astype(self.dtype)
+        x2 = x.reshape(-1, self.in_features).astype(jnp.float32)
+        # Fused Pallas kernel on TPU (bases stay in VMEM); jnp fallback
+        # elsewhere (ops/kan_spline.py).
+        out = kan_forward(
+            x2, self.grid.value, self.base_weight,
+            self.scaled_spline_weight(), self.spline_order,
+        ).astype(self.dtype)
         return out.reshape(*orig_shape[:-1], self.out_features)
 
     def regularization_loss(self, reg_activation=1.0, reg_entropy=1.0):
