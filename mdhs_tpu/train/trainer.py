@@ -43,7 +43,7 @@ from ..models.mibf import MIBFNet
 from ..ops.augment import train_pipeline
 from ..ops.preprocess import eval_pipeline
 from ..ops.stain_norm import stain_normalize
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
 from ..utils.logging import MetricWriter, setup_logging, setup_run_dir
 from .losses import (
     ce_loss,
@@ -280,6 +280,15 @@ class Trainer:
         )
         ds = MultimodalDataset(image_dir, json_path, csv_path, self.tokenizer, opts)
         return DataLoader(ds, batch_size=int(cfg.get("training.batch_size", 32)))
+
+    def _device_batch(self, batch):
+        """Host batch -> device: batch-sharded over the mesh data axis when
+        more than one device is attached (DP parity with reference
+        DataParallel/DDP), plain transfer otherwise."""
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+        if self.mesh.size > 1:
+            return shard_batch(jb, self.mesh)
+        return jb
 
     # ------------------------------------------------------------------
     def _example_batch(self):
@@ -560,7 +569,7 @@ class Trainer:
         total_loss, correct, total = 0.0, 0, 0
         n_batches = 0
         for batch in self.val_loader:
-            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+            jb = self._device_batch(batch)
             logits = eval_step(self.state, jb)
             n_valid = int(batch["n_valid"])
             labels = np.asarray(batch["label"][:n_valid])
@@ -642,7 +651,7 @@ class Trainer:
             # keep losses on device; fetch only at logging points / epoch end
             losses, n_batches = [], 0
             for batch in self.train_loader:
-                jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+                jb = self._device_batch(batch)
                 self.state, m = train_step(self.state, jb, rng)
                 losses.append(m["loss"])
                 n_batches += 1
