@@ -113,3 +113,14 @@ def test_hierarchical_fusion_e2e(synth, tmp_path):
     root, paths = synth
     cfg = make_cfg(root, paths, model__fusion_type="hierarchical")
     run_one_step(cfg, tmp_path, "hier")
+
+
+def test_stain_normalization_e2e(synth, tmp_path):
+    root, paths = synth
+    cfg = make_cfg(
+        root, paths,
+        data__stain_normalization={"enabled": True,
+                                   "target_mean": [150.0, 140.0, 140.0],
+                                   "target_std": [20.0, 20.0, 20.0]},
+    )
+    run_one_step(cfg, tmp_path, "stain")

@@ -1,0 +1,91 @@
+"""Optimizer tests: Muon Newton–Schulz orthogonalization + partitioning,
+schedules vs torch semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_newton_schulz_orthogonalizes():
+    from mdhs_tpu.train.optim import newton_schulz_orthogonalize
+
+    g = jax.random.normal(jax.random.PRNGKey(0), (32, 16))
+    o = np.asarray(newton_schulz_orthogonalize(g, steps=5), np.float32)
+    s = np.linalg.svd(o, compute_uv=False)
+    # singular values driven toward 1 (bf16 iteration: loose but centered)
+    assert 0.6 < s.min() and s.max() < 1.4, s
+
+
+def test_muon_partitions_by_ndim():
+    from mdhs_tpu.train.optim import muon_with_aux_adam
+
+    tx = muon_with_aux_adam(muon_lr=0.01, aux_lr=0.001)
+    params = {"w": jnp.ones((8, 4)), "b": jnp.ones((4,))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((8, 4)) * 0.1, "b": jnp.ones((4,)) * 0.1}
+    updates, _ = tx.update(grads, state, params)
+    assert updates["w"].shape == (8, 4)
+    assert updates["b"].shape == (4,)
+    # matrix update is orthogonalized+scaled: not proportional to the gradient
+    ratio = np.asarray(updates["w"]) / np.asarray(grads["w"])
+    assert np.isfinite(ratio).all()
+
+
+def test_warmup_cosine_matches_reference_lambda():
+    """Reference scripts/train.py:321-334 LambdaLR math."""
+    import math
+
+    from mdhs_tpu.train.optim import make_schedule
+
+    base, epochs, spe, warm = 0.1, 10, 20, 2
+    sched = make_schedule("warmup_cosine", base, num_epochs=epochs,
+                          steps_per_epoch=spe, warmup_epochs=warm)
+    total, wsteps = epochs * spe, warm * spe
+    for step in [0, 5, wsteps - 1, wsteps, 100, total - 1]:
+        if step < wsteps:
+            ref = base * (step + 1) / wsteps
+        else:
+            progress = step - wsteps
+            ref = base * 0.5 * (1 + math.cos(math.pi * progress / (total - wsteps)))
+        assert abs(float(sched(step)) - ref) < 1e-6, step
+
+
+def test_cosine_epoch_schedule():
+    from mdhs_tpu.train.optim import make_schedule
+
+    sched = make_schedule("cosine", 0.1, num_epochs=10, steps_per_epoch=5)
+    assert abs(float(sched(0)) - 0.1) < 1e-8
+    # epoch 5 of 10 -> half annealed
+    assert abs(float(sched(25)) - 0.05) < 1e-6
+
+
+def test_unknown_schedule_falls_back_to_constant():
+    from mdhs_tpu.train.optim import make_schedule
+
+    sched = make_schedule("bogus", 0.3, num_epochs=1, steps_per_epoch=1)
+    assert abs(float(sched(123)) - 0.3) < 1e-6
+
+
+def test_loader_weighted_and_padding():
+    from mdhs_tpu.data.loader import DataLoader, class_balanced_weights
+
+    class DS:
+        labels = [0] * 9 + [1]
+
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"label": np.int32(self.labels[i]), "image_id": str(i)}
+
+    w = class_balanced_weights(DS.labels, 2)
+    assert w[9] > w[0]  # rare class upweighted
+
+    dl = DataLoader(DS(), batch_size=4, shuffle=False)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert int(batches[-1]["n_valid"]) == 2  # 10 = 4+4+2, padded tail
+
+    dlw = DataLoader(DS(), batch_size=4, weighted=True, num_classes=2, seed=0)
+    labels = np.concatenate([b["label"] for b in dlw])
+    assert (labels == 1).sum() > 1  # oversampled rare class
