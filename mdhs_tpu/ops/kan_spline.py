@@ -108,18 +108,21 @@ def _kan_forward_pallas(x, grid, base_w, spline_w, spline_order: int):
     grid_t = grid.T  # (n_pts, IN)
 
     kernel = functools.partial(_kernel, spline_order, n_pts)
+    # Grid order (out, batch): the batch axis iterates fastest, so the
+    # weight blocks' indices are unchanged between consecutive programs and
+    # Pallas keeps them resident in VMEM instead of re-fetching per tile.
     y = pl.pallas_call(
         kernel,
-        grid=(Bp // TB, OUTp // TO),
+        grid=(OUTp // TO, Bp // TB),
         in_specs=[
-            pl.BlockSpec((TB, IN), lambda b, o: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pts, IN), lambda b, o: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((IN, TO), lambda b, o: (0, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, IN), lambda o, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pts, IN), lambda o, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN, TO), lambda o, b: (0, o), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (n_coeff, IN, TO), lambda b, o: (0, 0, o), memory_space=pltpu.VMEM
+                (n_coeff, IN, TO), lambda o, b: (0, 0, o), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((TB, TO), lambda b, o: (b, o), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TB, TO), lambda o, b: (b, o), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, OUTp), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * IN * OUTp * (n_coeff + 1),
