@@ -158,6 +158,17 @@ class Trainer:
             self.train_loader = self._make_loader("train")
             self.val_loader = self._make_loader("val")
             tabular_dim = getattr(self.train_loader.dataset, "tabular_dim", 0)
+        elif cfg.get("model.tabular.enabled", False) and cfg.get("data.metadata_csv"):
+            # predict/eval-only construction still needs the tabular width
+            # (reference wires it from the test loader, scripts/predict.py:103)
+            from ..data.datasets import build_tabular_map
+
+            _, tabular_dim = build_tabular_map(
+                cfg.get("data.metadata_csv"),
+                list(cfg.get("model.tabular.fields", ["age", "sex", "localization"]) or []),
+                cfg.get("model.tabular.normalize", "zscore"),
+            )
+        self._tabular_dim = tabular_dim
 
         self.model = build_model(cfg, family, self.tokenizer, tabular_dim)
         self.ablation_mode = cfg.get("model.ablation_mode")
@@ -308,10 +319,8 @@ class Trainer:
             "attention_mask": np.ones((B, L), np.int32),
             "label": np.zeros((B,), np.int32),
         }
-        if self.cfg.get("model.tabular.enabled", False) and self.train_loader is not None:
-            batch["tabular"] = np.zeros(
-                (B, self.train_loader.dataset.tabular_dim), np.float32
-            )
+        if self.cfg.get("model.tabular.enabled", False) and self._tabular_dim > 0:
+            batch["tabular"] = np.zeros((B, self._tabular_dim), np.float32)
         return batch
 
     def _preprocess_train(self, rng, images):

@@ -124,3 +124,26 @@ def test_stain_normalization_e2e(synth, tmp_path):
                                    "target_std": [20.0, 20.0, 20.0]},
     )
     run_one_step(cfg, tmp_path, "stain")
+
+
+def test_tabular_predict_only_trainer(synth, tmp_path):
+    """setup_data=False (predict/eval path) must still size the tabular
+    branch from metadata_csv (reference scripts/predict.py:103)."""
+    import jax.numpy as jnp
+
+    from mdhs_tpu.train.trainer import Trainer
+
+    root, paths = synth
+    cfg = make_cfg(
+        root, paths,
+        model__tabular={"enabled": True, "hidden_dim": 8,
+                        "fields": ["age", "sex", "localization"]},
+    )
+    tr = Trainer(cfg, family="baseline", output_dir=str(tmp_path / "tabpred"),
+                 setup_data=False)
+    assert tr._tabular_dim > 0
+    loader = tr.make_test_loader()
+    batch = next(iter(loader))
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+    logits = tr.eval_step_fn()(tr.state, jb)
+    assert logits.shape[-1] == 6
