@@ -194,6 +194,10 @@ class DatasetOptions:
     # (reference ConNexT/dataset/pl_datset.py:94-158, dims 3584/5120, zero-fill)
     llm_hidden_json: Optional[str] = None
     llm_hidden_dim: int = 3584
+    # in-memory uint8 canvas cache: decode/resize each image once, reuse
+    # across epochs (augmentation happens on device, so the canvas is
+    # epoch-invariant; a 10k-image dataset costs ~2 GB host RAM)
+    cache: bool = True
 
 
 class MultimodalDataset:
@@ -204,6 +208,7 @@ class MultimodalDataset:
         self.opts = options or DatasetOptions()
         self.image_dirs = [image_dir, *self.opts.extra_image_dirs]
         self.tokenizer = tokenizer
+        self._canvas_cache: dict = {}
 
         desc_map = build_description_map(json_path) if json_path else {}
         if csv_path:
@@ -262,11 +267,17 @@ class MultimodalDataset:
         return None
 
     def _load_canvas(self, image_id: str, mode: str = "RGB") -> np.ndarray:
+        key = (image_id, mode)
+        if self.opts.cache and key in self._canvas_cache:
+            return self._canvas_cache[key]
         path = self._find_image(image_id)
         if path is None:
             raise FileNotFoundError(image_id)
         img = Image.open(path).convert(mode)
-        return _canvas_array(img, self.opts.canvas)  # (S, S[, 3])
+        arr = _canvas_array(img, self.opts.canvas)  # (S, S[, 3])
+        if self.opts.cache:
+            self._canvas_cache[key] = arr
+        return arr
 
     def __getitem__(self, idx: int) -> dict:
         item = self.metadata[idx]

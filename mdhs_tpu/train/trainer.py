@@ -253,6 +253,7 @@ class Trainer:
             canvas=self.canvas,
             llm_hidden_json=d.get(f"{split}_llm_hidden_json") or d.get("llm_hidden_json"),
             llm_hidden_dim=int(d.get("llm_hidden_dim", 3584)),
+            cache=bool(d.get("cache", True)),
         )
         ds = MultimodalDataset(image_dir, json_path, csv_path, self.tokenizer, opts)
         is_train = split == "train"
@@ -288,6 +289,7 @@ class Trainer:
             canvas=self.canvas,
             llm_hidden_json=d.get("test_llm_hidden_json") or d.get("llm_hidden_json"),
             llm_hidden_dim=int(d.get("llm_hidden_dim", 3584)),
+            cache=bool(d.get("cache", True)),
         )
         ds = MultimodalDataset(image_dir, json_path, csv_path, self.tokenizer, opts)
         return DataLoader(ds, batch_size=int(cfg.get("training.batch_size", 32)))

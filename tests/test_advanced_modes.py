@@ -147,3 +147,19 @@ def test_tabular_predict_only_trainer(synth, tmp_path):
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
     logits = tr.eval_step_fn()(tr.state, jb)
     assert logits.shape[-1] == 6
+
+
+def test_canvas_cache(synth):
+    from mdhs_tpu.data.datasets import DatasetOptions, MultimodalDataset
+    from mdhs_tpu.data.tokenizer import WordPieceTokenizer
+
+    root, paths = synth
+    tok = WordPieceTokenizer.synthetic()
+    ds = MultimodalDataset(
+        paths["image_dir"], paths["json_path"], paths["label_csv"], tok,
+        DatasetOptions(max_length=8, canvas=56, cache=True),
+    )
+    a = ds[0]["image"]
+    assert len(ds._canvas_cache) == 1
+    b = ds[0]["image"]
+    assert a is b  # cached object reused
