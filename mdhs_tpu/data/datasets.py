@@ -198,6 +198,14 @@ class DatasetOptions:
     # across epochs (augmentation happens on device, so the canvas is
     # epoch-invariant; a 10k-image dataset costs ~2 GB host RAM)
     cache: bool = True
+    # strict torchvision-parity augmentation on the host (data/augment_host.py);
+    # when set, images leave the dataset already augmented at image_size
+    host_augment: bool = False
+    image_size: int = 224
+    aug_degrees: float = 45.0
+    aug_vflip: bool = True
+    aug_jitter: bool = True
+    seed: int = 0
 
 
 class MultimodalDataset:
@@ -209,6 +217,9 @@ class MultimodalDataset:
         self.image_dirs = [image_dir, *self.opts.extra_image_dirs]
         self.tokenizer = tokenizer
         self._canvas_cache: dict = {}
+        import random as _random
+
+        self._aug_rng = _random.Random(self.opts.seed)
 
         desc_map = build_description_map(json_path) if json_path else {}
         if csv_path:
@@ -266,7 +277,28 @@ class MultimodalDataset:
                 return p
         return None
 
+    def _load_augmented(self, image_id: str, mode: str = "RGB") -> np.ndarray:
+        """Host-augmented image at image_size (torchvision-exact path)."""
+        from .augment_host import host_train_transform
+
+        path = self._find_image(image_id)
+        if path is None:
+            raise FileNotFoundError(image_id)
+        img = Image.open(path).convert("RGB")
+        arr = host_train_transform(
+            img, self.opts.image_size, self._aug_rng,
+            degrees=self.opts.aug_degrees, vflip=self.opts.aug_vflip,
+            jitter=self.opts.aug_jitter,
+        )
+        if mode == "L":
+            return np.asarray(
+                Image.fromarray(arr).convert("L"), np.uint8
+            )
+        return arr
+
     def _load_canvas(self, image_id: str, mode: str = "RGB") -> np.ndarray:
+        if self.opts.host_augment:
+            return self._load_augmented(image_id, mode)
         key = (image_id, mode)
         if self.opts.cache and key in self._canvas_cache:
             return self._canvas_cache[key]
@@ -283,11 +315,17 @@ class MultimodalDataset:
         item = self.metadata[idx]
         image_id = item["image_id"]
         o = self.opts
-        S = o.canvas
+        S = o.image_size if o.host_augment else o.canvas
         try:
             if o.multi_view:
-                base = self._load_canvas(image_id)
-                image = np.stack([base] * o.num_views, axis=0)  # views aug'd on device
+                if o.host_augment:
+                    # each view independently augmented (reference
+                    # data_loader.py:270-276 applies the transform per view)
+                    views = [self._load_augmented(image_id) for _ in range(o.num_views)]
+                    image = np.stack(views, axis=0)
+                else:
+                    base = self._load_canvas(image_id)
+                    image = np.stack([base] * o.num_views, axis=0)  # views aug'd on device
             elif o.sequence:
                 slices = []
                 for off in o.sequence_offsets:

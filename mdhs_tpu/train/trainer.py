@@ -143,6 +143,9 @@ class Trainer:
             vflip=bool(aug.get("vflip", family != "mibf")),
         )
         self.color_jitter = bool(aug.get("color_jitter", family != "mibf"))
+        # strict torchvision-parity host augmentation (data/augment_host.py);
+        # default is the fused device pipeline
+        self.host_augment = bool(aug.get("host", False))
         self.stain_cfg = cfg.get("data.stain_normalization", {})
         self.mesh = make_mesh()
         self.rng = jax.random.PRNGKey(int(cfg.get("training.seed", 0)))
@@ -253,7 +256,15 @@ class Trainer:
             canvas=self.canvas,
             llm_hidden_json=d.get(f"{split}_llm_hidden_json") or d.get("llm_hidden_json"),
             llm_hidden_dim=int(d.get("llm_hidden_dim", 3584)),
-            cache=bool(d.get("cache", True)),
+            cache=bool(d.get("cache", True)) and not (
+                split == "train" and self.host_augment
+            ),
+            host_augment=(split == "train" and self.host_augment),
+            image_size=self.image_size,
+            aug_degrees=self.aug_kwargs["degrees"],
+            aug_vflip=self.aug_kwargs["vflip"],
+            aug_jitter=self.color_jitter,
+            seed=int(cfg.get("training.seed", 0)),
         )
         ds = MultimodalDataset(image_dir, json_path, csv_path, self.tokenizer, opts)
         is_train = split == "train"
@@ -327,6 +338,15 @@ class Trainer:
 
     def _preprocess_train(self, rng, images):
         """uint8 canvases -> augmented model input (handles 5-D stacks)."""
+        if self.host_augment:
+            # images already augmented at image_size on the host; just
+            # scale + normalize on device
+            from ..ops.preprocess import normalize_imagenet, to_float
+
+            x = to_float(images)
+            if self.normalize:
+                return normalize_imagenet(x, self.model.dtype)
+            return x.astype(self.model.dtype)
         stain = None
         if self.stain_cfg.get("enabled", False):
             stain = (

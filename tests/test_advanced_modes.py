@@ -163,3 +163,35 @@ def test_canvas_cache(synth):
     assert len(ds._canvas_cache) == 1
     b = ds[0]["image"]
     assert a is b  # cached object reused
+
+
+def test_host_augment_e2e(synth, tmp_path):
+    """Strict torchvision-parity host augmentation path (data.augment.host)."""
+    root, paths = synth
+    cfg = make_cfg(root, paths, data__augment={"host": True})
+    tr = run_one_step(cfg, tmp_path, "hostaug")
+    batch = next(iter(tr.train_loader))
+    # host path emits image_size-sized, per-epoch-random images
+    assert batch["image"].shape[1:] == (48, 48, 3)
+    batch2 = next(iter(tr.train_loader))
+    assert not (batch["image"] == batch2["image"]).all()
+
+
+def test_host_augment_functions():
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    from mdhs_tpu.data.augment_host import color_jitter, host_train_transform, random_resized_crop
+
+    rng = random.Random(0)
+    img = Image.fromarray(np.random.default_rng(0).integers(0, 255, (80, 60, 3), np.uint8))
+    out = host_train_transform(img, 48, rng)
+    assert out.shape == (48, 48, 3) and out.dtype == np.uint8
+    crop = random_resized_crop(img, 32, rng)
+    assert crop.size == (32, 32)
+    arr = np.asarray(img, np.float64)
+    jit = color_jitter(arr, rng)
+    assert jit.shape == arr.shape
+    assert 0 <= jit.min() and jit.max() <= 255
