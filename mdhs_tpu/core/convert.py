@@ -235,6 +235,188 @@ def convert_torch_mha(sd: Arrays, prefix: str = "", embed_dim: int | None = None
     }
 
 
+def _sub(sd: Arrays, prefix: str) -> Arrays:
+    """Subdict of keys under `prefix`, prefix stripped."""
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _dense(sd: Arrays, name: str) -> dict:
+    return {"kernel": _lin(sd[f"{name}.weight"]), "bias": sd[f"{name}.bias"]}
+
+
+def _ln(sd: Arrays, name: str) -> dict:
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+# ---------------------------------------------------------------------------
+# Full models: MIBF Resnet50WithOurs and MultimodalBaselineModel
+# ---------------------------------------------------------------------------
+
+def convert_mibf_full(sd: Arrays, num_bert_layers: int = 12):
+    """Complete `Resnet50WithOurs` state_dict -> (params, batch_stats) for
+    mdhs_tpu.models.mibf.MIBFNet.
+
+    Reference layout (mibf_net/model_resnet.py:10-34):
+    - text_encoder.bert.* (HF BertModel inside BertEncoder, bert.py:6-13)
+    - image_encoder.* (torchvision resnet50, fc replaced by Linear(2048,768))
+    - {textbased,imagbased}_cross_attention.to{K,Q,V}_x/to{K,V}_y/to_out
+      (MultiHeadCrossAttention_v2, attention.py:47-56)
+    - fc / fc_image.{1,3} / fc_text.{1,3} heads (model_resnet.py:22-34)
+    - I2Iattention is instantiated but unused in forward -> dropped.
+    """
+    sd = _strip_prefix(sd, "")
+    bert_params, _ = convert_bert(sd, num_layers=num_bert_layers,
+                                  prefix="text_encoder.bert.")
+    img_params, img_stats = convert_resnet_classifier(
+        sd, backbone="resnet50", fc_key="fc", prefix="image_encoder."
+    )
+
+    def jointkv(tprefix: str) -> dict:
+        names = {
+            "to_q_x": "toQ_x", "to_k_x": "toK_x", "to_v_x": "toV_x",
+            "to_k_y": "toK_y", "to_v_y": "toV_y", "to_out": "to_out",
+        }
+        return {fl: _dense(sd, f"{tprefix}.{t}") for fl, t in names.items()}
+
+    params = {
+        "text_encoder": bert_params,
+        "image_encoder": img_params,
+        "textbased_cross_attention": jointkv("textbased_cross_attention"),
+        "imagbased_cross_attention": jointkv("imagbased_cross_attention"),
+        "fc": _dense(sd, "fc"),
+        "fc_image_hidden": _dense(sd, "fc_image.1"),
+        "fc_image_out": _dense(sd, "fc_image.3"),
+        "fc_text_hidden": _dense(sd, "fc_text.1"),
+        "fc_text_out": _dense(sd, "fc_text.3"),
+    }
+    return params, {"image_encoder": img_stats}
+
+
+def _convert_fusion(sd: Arrays, fusion_type: str) -> dict:
+    """fusion.* subtree -> mdhs_tpu.modules.fusion params
+    (reference modules/fusion_blocks.py; our registry keys match)."""
+    f = fusion_type
+    if f == "basic":
+        tb = "fusion.transformer_block"
+        return {
+            "block": {
+                "norm1": _ln(sd, f"{tb}.norm1"),
+                "attn1": convert_torch_mha(_sub(sd, f"{tb}.attn1.")),
+                "norm2": _ln(sd, f"{tb}.norm2"),
+                "attn2": convert_torch_mha(_sub(sd, f"{tb}.attn2.")),
+                "norm3": _ln(sd, f"{tb}.norm3"),
+                "ff_up": _dense(sd, f"{tb}.ff.0"),
+                "ff_down": _dense(sd, f"{tb}.ff.3"),
+            }
+        }
+    if f == "multiscale":
+        out = {}
+        for scale in (2, 3, 4):
+            tp = f"fusion.cross_l{scale}"
+            out[f"cross_layer{scale}"] = {
+                "txt_proj": _dense(sd, f"{tp}.txt_proj"),
+                "attn": convert_torch_mha(_sub(sd, f"{tp}.attn.")),
+                "norm": _ln(sd, f"{tp}.norm"),
+            }
+        return out
+    if f in ("concat", "weighted_concat"):
+        out = {"proj": _dense(sd, "fusion.proj")}
+        if f == "weighted_concat":
+            out["w_img"] = sd["fusion.w_img"]
+            out["w_txt"] = sd["fusion.w_txt"]
+        return out
+    if f == "hadamard":
+        return {
+            "img_proj": _dense(sd, "fusion.img_proj"),
+            "txt_proj": _dense(sd, "fusion.txt_proj"),
+            "norm": _ln(sd, "fusion.norm"),
+        }
+    if f == "bilinear":
+        return {
+            "img_proj": _dense(sd, "fusion.img_proj"),
+            "txt_proj": _dense(sd, "fusion.txt_proj"),
+            "out_proj": _dense(sd, "fusion.out_proj"),
+            "norm": _ln(sd, "fusion.norm"),
+        }
+    raise ValueError(f"no converter for fusion_type={fusion_type}")
+
+
+def _convert_head(sd: Arrays, classifier_type: str) -> dict:
+    """classifier.* subtree -> mdhs_tpu.modules.heads params."""
+    c = classifier_type
+    if c == "mlp":
+        # nn.Sequential(Linear, ReLU, Dropout, Linear) (model.py:193-200)
+        return {"fc1": _dense(sd, "classifier.0"), "fc2": _dense(sd, "classifier.3")}
+    if c == "residual":
+        # ResidualClassifier (modules/heads.py:28-58): project -> ReLU ->
+        # ResidualBlock(linear1, linear2 + LN skip) -> classifier
+        return {
+            "project": _dense(sd, "classifier.project"),
+            "res_fc1": _dense(sd, "classifier.res_block.linear1"),
+            "res_fc2": _dense(sd, "classifier.res_block.linear2"),
+            "res_norm": _ln(sd, "classifier.res_block.norm"),
+            "classifier": _dense(sd, "classifier.classifier"),
+        }
+    raise ValueError(f"no converter for classifier_type={classifier_type}")
+
+
+def convert_baseline_full(
+    sd: Arrays,
+    fusion_type: str = "basic",
+    classifier_type: str = "mlp",
+    backbone: str = "resnet18",
+    num_bert_layers: int = 12,
+):
+    """Complete `MultimodalBaselineModel` state_dict -> (params, batch_stats)
+    for mdhs_tpu.models.baseline.MultimodalBaselineModel.
+
+    Reference layout (model.py:60-200):
+    - image_encoder.model.* (torchvision resnet) + image_encoder.proj{2,3,4}
+    - text_encoder.model.* (HF BertModel)
+    - fusion.* per fusion_type (modules/fusion_blocks.py)
+    - classifier.* per classifier_type
+    - optional tabular_encoder/tabular_fusion and gate subtrees.
+    """
+    sd = _strip_prefix(sd, "")
+    trunk_p, trunk_s = convert_resnet(
+        _sub(sd, "image_encoder.model."), backbone=backbone
+    )
+    img_enc: dict = {"trunk": trunk_p}
+    proj_names = {"proj4": "proj_layer4", "proj3": "proj_layer3", "proj2": "proj_layer2"}
+    for tname, fname in proj_names.items():
+        if f"image_encoder.{tname}.weight" in sd:
+            img_enc[fname] = _dense(sd, f"image_encoder.{tname}")
+
+    bert_params, _ = convert_bert(sd, num_layers=num_bert_layers,
+                                  prefix="text_encoder.model.")
+    params: dict = {
+        "image_encoder": img_enc,
+        "text_encoder": {"bert": bert_params},
+        "fusion": _convert_fusion(sd, fusion_type),
+        "classifier": _convert_head(sd, classifier_type),
+    }
+    # optional tabular branch (model.py:155-166): TabularEncoder
+    # Sequential(Linear0, ReLU, Dropout, Linear3) + tabular_fusion.0
+    if "tabular_encoder.net.0.weight" in sd:
+        params["tabular_encoder"] = {
+            "fc1": _dense(sd, "tabular_encoder.net.0"),
+            "fc2": _dense(sd, "tabular_encoder.net.3"),
+        }
+        params["tabular_fc"] = _dense(sd, "tabular_fusion.0")
+    # optional gate (modules/gating.py:5-23): fc = Sequential(Linear0,ReLU,Linear2)
+    if "gate.fc.0.weight" in sd:
+        params["gate"] = {
+            "fc1": _dense(sd, "gate.fc.0"),
+            "fc2": _dense(sd, "gate.fc.2"),
+        }
+    # optional sequence_proj / global_local_proj
+    if "sequence_proj.weight" in sd:
+        params["sequence_proj"] = _dense(sd, "sequence_proj")
+    if "global_local_proj.weight" in sd:
+        params["global_local_proj"] = _dense(sd, "global_local_proj")
+    return params, {"image_encoder": {"trunk": trunk_s}}
+
+
 # ---------------------------------------------------------------------------
 # ConvNeXt (torchvision naming: features.N...)
 # ---------------------------------------------------------------------------

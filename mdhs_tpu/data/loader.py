@@ -108,11 +108,14 @@ class DataLoader:
         DONE = object()
 
         def worker():
+            # A mid-epoch dataset failure must surface in the consumer, not
+            # silently truncate the epoch: ship the exception over the queue.
             try:
                 for b in gen():
                     q.put(b)
-            finally:
                 q.put(DONE)
+            except BaseException as exc:  # noqa: BLE001 - re-raised below
+                q.put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -120,4 +123,6 @@ class DataLoader:
             b = q.get()
             if b is DONE:
                 break
+            if isinstance(b, BaseException):
+                raise b
             yield b

@@ -57,11 +57,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays onto the mesh, batch-sharded on axis 0."""
+    """Place a pytree of host arrays onto the mesh, batch-sharded on axis 0
+    (scalars like n_valid are replicated)."""
     sh = batch_sharding(mesh)
+    rep = replicated(mesh)
 
     def _put(x):
-        return jax.device_put(x, sh)
+        return jax.device_put(x, sh if getattr(x, "ndim", 0) >= 1 else rep)
 
     return jax.tree_util.tree_map(_put, batch)
 

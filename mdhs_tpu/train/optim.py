@@ -71,10 +71,22 @@ def scale_by_muon(momentum: float = 0.95, nesterov: bool = True, ns_steps: int =
         def ortho(g):
             if g.ndim < 2:
                 return g
-            g2 = g.reshape(g.shape[0], -1) if g.ndim > 2 else g
+            if g.ndim > 2:
+                # Flax conv kernels are HWIO (output channels LAST). Torch
+                # Muon matricizes OIHW as weight.view(out, -1); the
+                # equivalent view here puts the output-channel axis leading:
+                # (H*W*I, O) -> transpose -> (O, fan_in). Newton–Schulz is
+                # invariant to the column permutation between (I,H,W) and
+                # (H,W,I) flattening, so this matches torch Muon's geometry.
+                g2 = g.reshape(-1, g.shape[-1]).T
+            else:
+                g2 = g
             o = newton_schulz_orthogonalize(g2, ns_steps)
             scale = max(1.0, g2.shape[0] / g2.shape[1]) ** 0.5
-            return (o * scale).reshape(g.shape)
+            o = o * scale
+            if g.ndim > 2:
+                o = o.T.reshape(g.shape)
+            return o
 
         return jax.tree_util.tree_map(ortho, eff), MuonState(momentum=buf)
 
@@ -169,7 +181,14 @@ def _adam(lr_schedule, cfg):
 
 @OPTIMIZERS.register("adamw")
 def _adamw(lr_schedule, cfg):
-    return optax.adamw(lr_schedule)
+    # torch.optim.AdamW defaults to weight_decay=1e-2 (the reference never
+    # overrides it, scripts/train.py:260); optax.adamw defaults to 1e-4.
+    wd = 0.01
+    if cfg is not None:
+        t = cfg.get("training", {})
+        get = t.get if hasattr(t, "get") else (lambda *a: a[1] if len(a) > 1 else None)
+        wd = float(get("weight_decay", 0.01))
+    return optax.adamw(lr_schedule, weight_decay=wd)
 
 
 @OPTIMIZERS.register("sgd")
@@ -199,5 +218,14 @@ def make_optimizer(name: str, lr_schedule, cfg=None, freeze_mask=None):
     """
     tx = OPTIMIZERS.get(name.lower())(lr_schedule, cfg)
     if freeze_mask is not None:
-        tx = optax.chain(optax.masked(tx, freeze_mask))
+        # optax.masked leaves non-selected leaves' updates UNCHANGED (the raw
+        # gradient would flow through as the update), so the frozen
+        # complement must be explicitly zeroed. The reference freezes via
+        # requires_grad=False + a params_to_update filter (train.py:214-219,
+        # :255), i.e. frozen params receive no update at all.
+        inverse = jax.tree_util.tree_map(lambda t: not t, freeze_mask)
+        tx = optax.chain(
+            optax.masked(tx, freeze_mask),
+            optax.masked(optax.set_to_zero(), inverse),
+        )
     return tx

@@ -147,7 +147,10 @@ class Trainer:
         # default is the fused device pipeline
         self.host_augment = bool(aug.get("host", False))
         self.stain_cfg = cfg.get("data.stain_normalization", {})
-        self.mesh = make_mesh()
+        # (data, model) mesh over all attached devices: pure DP by default
+        # (reference DataParallel/DDP surface), model axis opt-in for
+        # TP/EP sharding of wide layers and expert banks.
+        self.mesh = make_mesh(n_model=int(cfg.get("parallel.n_model", 1)))
         self.rng = jax.random.PRNGKey(int(cfg.get("training.seed", 0)))
 
         self.tokenizer = load_tokenizer(
@@ -421,6 +424,19 @@ class Trainer:
         batch_stats = variables.get("batch_stats", {})
         kan_state = variables.get("kan_state", {})
 
+        if self.mesh.size > 1:
+            # Place params per the TP/EP rules (replicated by default) and
+            # replicate the aux state; opt_state inherits the param
+            # shardings through jitted init's sharding propagation.
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, self.mesh)
+            rep = replicated(self.mesh)
+            if batch_stats:
+                batch_stats = jax.device_put(batch_stats, rep)
+            if kan_state:
+                kan_state = jax.device_put(kan_state, rep)
+
         self.freeze_mask = _freeze_mask(params, self.cfg, self.family)
         self.tx = make_optimizer(self._opt_name, self.lr_schedule, self.cfg, self.freeze_mask)
         opt_state = jax.jit(self.tx.init)(params)
@@ -443,6 +459,22 @@ class Trainer:
         return v
 
     # ------------------------------------------------------------------
+    def _criterion(self, logits, labels):
+        """The configured training criterion — validation must use the same
+        loss as training (reference scripts/train.py:117 passes the
+        criterion object into validate; pl_model_MOE2.py shares self.loss)."""
+        if self.family == "connext":
+            return ce_loss(logits, labels, label_smoothing=0.0, class_weights=self.class_weights)
+        if self.loss_type == "focal":
+            return focal_loss(
+                logits, labels, gamma=self.focal_gamma, class_weights=self.class_weights
+            )
+        return ce_loss(
+            logits, labels,
+            label_smoothing=self.label_smoothing,
+            class_weights=self.class_weights,
+        )
+
     def _loss_fn(self, params, batch_stats, kan_state, batch, images, rng):
         variables = {"params": params}
         if batch_stats:
@@ -471,17 +503,7 @@ class Trainer:
             if self.supcon_enabled and self.supcon_stage == "pretrain":
                 loss = supcon_loss(feats, labels, self.supcon_temp)
             else:
-                if self.loss_type == "focal":
-                    loss = focal_loss(
-                        logits, labels, gamma=self.focal_gamma, class_weights=self.class_weights
-                    )
-                else:
-                    loss = ce_loss(
-                        logits,
-                        labels,
-                        label_smoothing=self.label_smoothing,
-                        class_weights=self.class_weights,
-                    )
+                loss = self._criterion(logits, labels)
                 if self.supcon_enabled and self.supcon_stage == "finetune":
                     loss = loss + self.supcon_weight * supcon_loss(feats, labels, self.supcon_temp)
             aux = new_vars.get("aux_loss", {})
@@ -592,22 +614,64 @@ class Trainer:
 
         return jax.jit(step)
 
+    def _val_step_fn(self):
+        """Jitted validation forward. For MIBF returns the full outputs dict
+        (MP-Loss needs all three heads, mibf_net/train_resnet.py:53); other
+        families return logits."""
+
+        def step(state: TrainState, batch):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            if state.kan_state:
+                variables["kan_state"] = state.kan_state
+            images = self._preprocess_eval(batch["image"])
+            if self.family == "mibf":
+                return self.model.apply(
+                    variables, images, batch["input_ids"], batch["attention_mask"]
+                )
+            if self.family == "baseline":
+                return self.model.apply(
+                    variables, images, batch["input_ids"], batch["attention_mask"],
+                    tabular_input=batch.get("tabular"),
+                    ablation_mode=self.ablation_mode,
+                )
+            logits, _ = self.model.apply(
+                variables, images, batch["input_ids"], batch["attention_mask"],
+                first_hidden=batch.get("first_hidden"),
+                last_hidden=batch.get("last_hidden"),
+            )
+            return logits
+
+        return jax.jit(step)
+
     # ------------------------------------------------------------------
-    def validate(self, eval_step=None):
+    def validate(self):
+        """Val loss uses the TRAINING criterion (reference validates with
+        the same criterion object / cal_loss, scripts/train.py:102-129,
+        mibf_net/train_resnet.py:44-61) — not plain CE."""
         if self.val_loader is None:
             return 0.0, 0.0
-        eval_step = eval_step or self.eval_step_fn()
+        if getattr(self, "_val_step", None) is None:
+            self._val_step = self._val_step_fn()
+        val_step = self._val_step
         total_loss, correct, total = 0.0, 0, 0
         n_batches = 0
         for batch in self.val_loader:
             jb = self._device_batch(batch)
-            logits = eval_step(self.state, jb)
+            out = val_step(self.state, jb)
             n_valid = int(batch["n_valid"])
             labels = np.asarray(batch["label"][:n_valid])
-            lg = np.asarray(logits[:n_valid], np.float32)
-            loss = float(
-                np.asarray(ce_loss(jnp.asarray(lg), jnp.asarray(labels), label_smoothing=0.0))
-            )
+            if self.family == "mibf":
+                out_np = {
+                    k: jnp.asarray(np.asarray(v, np.float32)[:n_valid])
+                    for k, v in out.items()
+                }
+                loss = float(mibf_loss(out_np, jnp.asarray(labels), self.mibf_loss_class))
+                lg = np.asarray(out_np["image_text"], np.float32)
+            else:
+                lg = np.asarray(out[:n_valid], np.float32)
+                loss = float(self._criterion(jnp.asarray(lg), jnp.asarray(labels)))
             total_loss += loss
             n_batches += 1
             correct += int((lg.argmax(-1) == labels).sum())
@@ -695,7 +759,7 @@ class Trainer:
                 if global_step % log_every == 0:
                     self.writer.scalar("Loss/Train_Batch", float(m["loss"]), global_step)
             avg_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-            val_loss, val_acc = self.validate(eval_step)
+            val_loss, val_acc = self.validate()
             if bool(self.cfg.get("training.log_per_class", False)):
                 self.log_validation_report(eval_step, epoch + 1)
             dt = time.time() - t0

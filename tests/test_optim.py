@@ -66,6 +66,57 @@ def test_unknown_schedule_falls_back_to_constant():
     assert abs(float(sched(123)) - 0.3) < 1e-6
 
 
+def test_freeze_mask_zeroes_frozen_updates():
+    """Frozen leaves must be bit-identical after a step (reference filters
+    them out of the optimizer entirely, scripts/train.py:255)."""
+    import optax
+
+    from mdhs_tpu.train.optim import make_optimizer
+
+    params = {"enc": {"w": jnp.ones((4, 4))}, "head": {"w": jnp.ones((4, 4))}}
+    mask = {"enc": {"w": False}, "head": {"w": True}}  # True = trainable
+    tx = make_optimizer("adam", lambda s: 0.1, freeze_mask=mask)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 0.5), params)
+    updates, _ = tx.update(grads, state, params)
+    new_params = optax.apply_updates(params, updates)
+    assert np.all(np.asarray(updates["enc"]["w"]) == 0.0)
+    assert np.array_equal(np.asarray(new_params["enc"]["w"]),
+                          np.asarray(params["enc"]["w"]))
+    assert not np.array_equal(np.asarray(new_params["head"]["w"]),
+                              np.asarray(params["head"]["w"]))
+
+
+def test_muon_conv_kernel_matricization():
+    """HWIO conv grads must orthogonalize the (out_channels, fan_in) view,
+    matching torch Muon's weight.view(out, -1) on OIHW."""
+    from mdhs_tpu.train.optim import scale_by_muon
+
+    tx = scale_by_muon(momentum=0.0, nesterov=False)
+    g = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 8))  # HWIO
+    params = {"k": jnp.zeros_like(g)}
+    state = tx.init(params)
+    updates, _ = tx.update({"k": g}, state, params)
+    u = np.asarray(updates["k"], np.float32).reshape(-1, 8).T  # (O, fan_in)
+    s = np.linalg.svd(u, compute_uv=False)
+    # scale = max(1, 8/36)^0.5 = 1 -> singular values near 1
+    assert 0.6 < s.min() and s.max() < 1.4, s
+
+
+def test_adamw_uses_torch_default_weight_decay():
+    """torch AdamW default weight_decay=1e-2; update on a zero-grad param
+    must be ≈ -lr * wd * p."""
+    from mdhs_tpu.train.optim import make_optimizer
+
+    lr = 0.1
+    tx = make_optimizer("adamw", lambda s: lr)
+    params = {"w": jnp.full((4,), 2.0)}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.zeros((4,))}, state, params)
+    expected = -lr * 0.01 * 2.0
+    assert np.allclose(np.asarray(updates["w"]), expected, atol=1e-8), updates
+
+
 def test_loader_weighted_and_padding():
     from mdhs_tpu.data.loader import DataLoader, class_balanced_weights
 
