@@ -15,6 +15,11 @@ def main(argv=None):
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    help="config override key=value (repeatable)")
     args = p.parse_args(argv)
+    # multi-host bootstrap from env (reference DDP surface: RANK/WORLD_SIZE
+    # -> init_process_group, mibf_net/train_resnet.py:84-88)
+    from ..parallel.distributed import initialize_multihost
+
+    initialize_multihost()
     trainer = build_trainer(args.config, family=args.family, overrides=args.overrides)
     trainer.fit()
     return trainer

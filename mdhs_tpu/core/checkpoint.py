@@ -45,9 +45,13 @@ def load_checkpoint(path: str) -> dict:
         return flax.serialization.msgpack_restore(f.read())
 
 
-def merge_tolerant(target: dict, loaded: dict, prefix: str = "") -> dict:
+def merge_tolerant(target: dict, loaded: dict, prefix: str = "",
+                   warn_missing: bool = True) -> dict:
     """strict=False-style merge: copy leaves whose path+shape match; warn on
-    missing/unexpected/mismatched (reference predict_resnet.py:13-23)."""
+    missing/unexpected/mismatched (reference predict_resnet.py:13-23).
+    warn_missing=False silences the target-keys-not-in-checkpoint warnings
+    (used for tower-subtree merges, where most of the tree is absent by
+    design)."""
     import flax.traverse_util as tu
 
     t_flat = tu.flatten_dict(target, sep="/")
@@ -65,9 +69,10 @@ def merge_tolerant(target: dict, loaded: dict, prefix: str = "") -> dict:
                             getattr(val, "shape", None), getattr(tgt, "shape", None))
         else:
             log.warning("unexpected key in checkpoint: %s%s", prefix, key)
-    for key in t_flat:
-        if key not in loaded_keys and key not in l_flat:
-            log.warning("missing key in checkpoint: %s%s", prefix, key)
+    if warn_missing:
+        for key in t_flat:
+            if key not in loaded_keys and key not in l_flat:
+                log.warning("missing key in checkpoint: %s%s", prefix, key)
     return tu.unflatten_dict(merged, sep="/")
 
 

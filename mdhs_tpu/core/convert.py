@@ -268,7 +268,7 @@ def convert_mibf_full(sd: Arrays, num_bert_layers: int = 12):
     bert_params, _ = convert_bert(sd, num_layers=num_bert_layers,
                                   prefix="text_encoder.bert.")
     img_params, img_stats = convert_resnet_classifier(
-        sd, backbone="resnet50", fc_key="fc", prefix="image_encoder."
+        _sub(sd, "image_encoder."), backbone="resnet50", fc_key="fc"
     )
 
     def jointkv(tprefix: str) -> dict:

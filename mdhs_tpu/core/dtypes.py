@@ -25,7 +25,7 @@ class DTypePolicy:
         name = "bf16"
         if cfg is not None:
             name = cfg.get("training.precision", "bf16") or "bf16"
-        return POLICIES[str(name).lower()]
+        return POLICIES.get(str(name).lower(), DTypePolicy())
 
 
 POLICIES = {

@@ -108,7 +108,7 @@ class TokenBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         g1 = self.param("gamma1", nn.initializers.constant(self.layer_scale), (self.dim,))
         g2 = self.param("gamma2", nn.initializers.constant(self.layer_scale), (self.dim,))
         h = ln("norm1")(x)

@@ -99,6 +99,17 @@ TAP_CHANNELS = {
 }
 
 
+def _torch_conv(dtype):
+    """Conv factory with torch-exact symmetric padding (k//2 per side)."""
+
+    def make(features, kernel_size, strides=(1, 1), name=None):
+        pad = [(k // 2, k // 2) for k in kernel_size]
+        return nn.Conv(features, kernel_size, strides, padding=pad,
+                       use_bias=False, dtype=dtype, name=name)
+
+    return make
+
+
 class ResNet(nn.Module):
     """ResNet trunk returning all intermediate taps.
 
@@ -113,7 +124,10 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         if self.backbone not in STAGE_SIZES:
             raise ValueError(f"Unsupported backbone: {self.backbone}")
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype, padding="SAME")
+        # torch-exact symmetric padding (k//2 each side). XLA's "SAME" pads
+        # asymmetrically for strided convs (e.g. (2,3) for 7x7/2), which
+        # breaks bit-parity with torchvision at feature-map borders.
+        conv = _torch_conv(self.dtype)
         norm = partial(
             nn.BatchNorm,
             use_running_average=not train,

@@ -57,7 +57,7 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, context_mask=None, deterministic: bool = True):
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         h = ln("norm1")(x)
         h = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout, dtype=self.dtype, name="attn1"
@@ -122,7 +122,7 @@ class CrossAttentionBlock(nn.Module):
         attn = MultiHeadAttention(
             self.hidden_dim, self.num_heads, self.dropout, dtype=self.dtype, name="attn"
         )(img_tokens, txt, txt, key_padding_mask=txt_mask, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(img_tokens + attn)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(img_tokens + attn)
 
 
 @FUSIONS.register("multiscale")
@@ -198,7 +198,7 @@ class HadamardFusion(nn.Module):
         fused = nn.Dense(self.hidden_dim, dtype=self.dtype, name="img_proj")(img) * nn.Dense(
             self.hidden_dim, dtype=self.dtype, name="txt_proj"
         )(txt)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(fused)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(fused)
 
 
 @FUSIONS.register("bilinear")
@@ -217,7 +217,7 @@ class BilinearFusion(nn.Module):
             self.rank, dtype=self.dtype, name="txt_proj"
         )(txt)
         out = nn.Dense(self.hidden_dim, dtype=self.dtype, name="out_proj")(low)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
 
 
 @FUSIONS.register("hierarchical")

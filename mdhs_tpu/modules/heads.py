@@ -51,7 +51,7 @@ class ResidualHead(nn.Module):
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="res_fc2")(h)
-        x = nn.LayerNorm(dtype=self.dtype, name="res_norm")(x + h)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="res_norm")(x + h)
         x = nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(x)
         return x.astype(jnp.float32)
 
@@ -102,7 +102,7 @@ class KANHead(nn.Module):
             dtype=self.dtype,
             name="kan1",
         )(x, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = GroupKANLinear(
             self.hidden_dim,
             self.num_classes,

@@ -117,7 +117,7 @@ class VMambaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(tokens)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tokens)
         fwd = MambaBlock(d_model=self.dim, dtype=self.dtype, name="fwd")(h)
         bwd = MambaBlock(d_model=self.dim, dtype=self.dtype, name="bwd")(h[:, ::-1, :])[:, ::-1, :]
         return tokens + 0.5 * (fwd + bwd)

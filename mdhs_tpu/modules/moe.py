@@ -42,18 +42,37 @@ def cv_squared(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def noisy_top_k_gating(x, w_gate, w_noise, k: int, *, train: bool, rng=None,
-                       noise_epsilon: float = 1e-2):
+                       noise_epsilon: float = 1e-2, load_mode: str = "consistent",
+                       noise=None):
     """Returns (gates (B, E), load (E,)). Reference moe.py:198-265.
 
-    Note the reference softmaxes logits BEFORE top-k and renormalizes the
-    top-k probabilities; we preserve that exactly.
-    """
+    The reference softmaxes logits BEFORE top-k and renormalizes the top-k
+    probabilities; gates preserve that exactly.
+
+    Load estimator modes — the reference's `_prob_in_top_k` MIXES spaces
+    (moe.py:252-262): thresholds come from the top-(k+1) of the *softmaxed*
+    noisy values, but `is_in` compares the RAW noisy logits against those
+    softmaxed thresholds and the CDF argument uses RAW clean logits. That
+    mixing is almost certainly unintended (softmaxed values live in [0,1],
+    raw logits don't), so:
+      - "consistent" (default): all quantities in softmax space — a sane,
+        smooth estimator that preserves the intent (differentiable load
+        balancing).
+      - "reference": bit-exact replication of the quirky mixing, verified
+        against the torch math in tests/test_modules parity
+        (test_moe_gating_differential).
+    `noise` lets tests inject the exact noise tensor."""
+    if load_mode not in ("consistent", "reference"):
+        raise ValueError(f"unknown load_mode: {load_mode}")
     num_experts = w_gate.shape[1]
     clean_logits = x.astype(jnp.float32) @ w_gate.astype(jnp.float32)
-    if train and rng is not None:
+    noisy = train and (rng is not None or noise is not None)
+    if noisy:
         raw_noise = x.astype(jnp.float32) @ w_noise.astype(jnp.float32)
         noise_std = nn.softplus(raw_noise) + noise_epsilon
-        noisy_logits = clean_logits + jax.random.normal(rng, clean_logits.shape) * noise_std
+        if noise is None:
+            noise = jax.random.normal(rng, clean_logits.shape)
+        noisy_logits = clean_logits + noise.astype(jnp.float32) * noise_std
         logits = noisy_logits
     else:
         noisy_logits, noise_std = clean_logits, None
@@ -70,20 +89,21 @@ def noisy_top_k_gating(x, w_gate, w_noise, k: int, *, train: bool, rng=None,
     batch_idx = jnp.arange(x.shape[0])[:, None]
     gates = gates.at[batch_idx, top_k_idx].set(top_k_gates)
 
-    if train and rng is not None and k < num_experts:
-        # Differentiable load: P(expert e in top k) under the gating noise
-        # (reference _prob_in_top_k, moe.py:198-230). Thresholds come from
-        # the top-(k+1) of the *softmaxed* noisy values, matching reference.
+    if noisy and k < num_experts:
+        # Differentiable load: P(expert e in top k) under the gating noise.
         threshold_if_in = top_probs[:, k][:, None]
         threshold_if_out = top_probs[:, k - 1][:, None]
-        noisy_probs = probs  # reference compares softmaxed values
-        is_in = noisy_probs > threshold_if_in
-        # Convert back to logit-space distances using the raw logits: the
-        # reference computes CDFs on (clean - threshold)/noise_std in the
-        # softmaxed space; we mirror with the same quantities.
-        clean_probs = nn.softmax(clean_logits, axis=1)
-        prob_if_in = _normal_cdf((clean_probs - threshold_if_in) / (noise_std + 1e-9))
-        prob_if_out = _normal_cdf((clean_probs - threshold_if_out) / (noise_std + 1e-9))
+        if load_mode == "reference":
+            # exact reference mixing (moe.py:252-262): raw values against
+            # softmaxed thresholds
+            is_in = noisy_logits > threshold_if_in
+            prob_if_in = _normal_cdf((clean_logits - threshold_if_in) / noise_std)
+            prob_if_out = _normal_cdf((clean_logits - threshold_if_out) / noise_std)
+        else:
+            clean_probs = nn.softmax(clean_logits, axis=1)
+            is_in = probs > threshold_if_in
+            prob_if_in = _normal_cdf((clean_probs - threshold_if_in) / (noise_std + 1e-9))
+            prob_if_out = _normal_cdf((clean_probs - threshold_if_out) / (noise_std + 1e-9))
         load = jnp.where(is_in, prob_if_in, prob_if_out).sum(axis=0)
     else:
         load = (gates > 0).astype(jnp.float32).sum(axis=0)
@@ -102,6 +122,7 @@ class MoE(nn.Module):
     grid_size: int = 5
     spline_order: int = 3
     loss_coef: float = 1e-2
+    load_mode: str = "consistent"  # or "reference" (see noisy_top_k_gating)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -118,7 +139,8 @@ class MoE(nn.Module):
         )
         rng = self.make_rng("gating") if (train and self.noisy_gating) else None
         gates, load = noisy_top_k_gating(
-            x, w_gate, w_noise, self.k, train=train and self.noisy_gating, rng=rng
+            x, w_gate, w_noise, self.k, train=train and self.noisy_gating, rng=rng,
+            load_mode=self.load_mode,
         )
 
         importance = gates.sum(axis=0)

@@ -78,11 +78,11 @@ class MultimodalMamba(nn.Module):
             attn = KANMultiheadAttention(
                 self.proj_dim, self.num_heads, dtype=self.dtype, name="attn"
             )(seq, deterministic=deterministic)
-            seq = nn.LayerNorm(dtype=self.dtype, name="norm1")(attn + seq)
+            seq = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(attn + seq)
             mamba_out = MambaBlock(
                 d_model=self.proj_dim, d_state=128, dtype=self.dtype, name="mamba"
             )(seq)
-            return nn.LayerNorm(dtype=self.dtype, name="norm2")(mamba_out + seq)
+            return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(mamba_out + seq)
 
         mamba_out = MambaBlock(
             d_model=self.proj_dim, d_state=128, dtype=self.dtype, name="mamba"

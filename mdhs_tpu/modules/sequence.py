@@ -61,13 +61,13 @@ class TransformerEncoderLayer(nn.Module):
             self.d_model, self.num_heads, self.dropout, dtype=self.dtype, name="self_attn"
         )(x, x, x, deterministic=deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + h)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + h)
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="ff1")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="ff2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + h)
 
 
 class SequenceEncoder(nn.Module):

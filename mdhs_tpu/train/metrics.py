@@ -54,24 +54,30 @@ def auroc_ovr_macro(probs, labels, num_classes: int) -> jnp.ndarray:
     """Macro one-vs-rest AUROC via the rank-sum (Mann-Whitney U) statistic.
 
     AUC_c = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) where R_pos is the
-    sum of ranks of positive-class scores. Ties get average ranks.
+    sum of ranks of positive-class scores. Ties get average ranks, computed
+    with a sort + segment-sum (O(N log N), no N x N tie matrix — the HAM
+    test split is thousands of samples and this runs every epoch).
     """
     probs = probs.astype(jnp.float32)
+    n = probs.shape[0]
 
     def one_class(c):
         scores = probs[:, c]
         pos = (labels == c).astype(jnp.float32)
         n_pos = pos.sum()
-        n_neg = pos.shape[0] - n_pos
+        n_neg = n - n_pos
         order = jnp.argsort(scores)
-        sorted_scores = scores[order]
-        ranks = jnp.arange(1, scores.shape[0] + 1, dtype=jnp.float32)
-        # average ranks over ties
-        def avg_ties(r):
-            same = (sorted_scores[:, None] == sorted_scores[None, :]).astype(jnp.float32)
-            return (same @ r) / jnp.maximum(same.sum(axis=1), 1.0)
-
-        ranks = avg_ties(ranks)
+        s = scores[order]
+        base = jnp.arange(1, n + 1, dtype=jnp.float32)
+        # tie runs: same consecutive sorted value -> same run id; average the
+        # 1-based ranks within each run
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), s[1:] != s[:-1]]
+        )
+        run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        run_sum = jax.ops.segment_sum(base, run_id, num_segments=n)
+        run_cnt = jax.ops.segment_sum(jnp.ones_like(base), run_id, num_segments=n)
+        ranks = (run_sum / jnp.maximum(run_cnt, 1.0))[run_id]
         inv = jnp.zeros_like(ranks).at[order].set(ranks)
         r_pos = (inv * pos).sum()
         auc = (r_pos - n_pos * (n_pos + 1) / 2) / jnp.maximum(n_pos * n_neg, 1.0)

@@ -78,14 +78,10 @@ def bert_config_from(cfg: Config, vocab_size: int) -> BertConfig:
 
 
 def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype=None):
-    import jax.numpy as jnp
-
     if dtype is None:
-        dtype = (
-            jnp.float32
-            if str(cfg.get("training.precision", "bf16")).lower() in ("fp32", "f32", "float32")
-            else jnp.bfloat16
-        )
+        from ..core.dtypes import DTypePolicy
+
+        dtype = DTypePolicy.from_config(cfg).compute_dtype
     bert = bert_config_from(cfg, tokenizer.vocab_size)
     if family == "baseline":
         mc = BaselineConfig.from_config(cfg, tabular_input_dim=tabular_dim, bert=bert)
@@ -225,6 +221,11 @@ class Trainer:
         cfg.save(os.path.join(output_dir, "config.yml"))
         self.writer = MetricWriter(output_dir)
         self.ckpt = TopKCheckpointManager(output_dir, k=3)
+
+        # pretrained towers / full model from config (reference builds every
+        # tower from ImageNet/HF weights by default: encoder.py:22,53-61,
+        # scripts/train.py:185, mibf_net/model_resnet.py:15)
+        self._load_pretrained()
 
         resume = cfg.get("training.resume_from")
         if resume:
@@ -713,6 +714,126 @@ class Trainer:
             "kan_state": self.state.kan_state,
             "step": np.asarray(self.state.step),
         }
+
+    def _merge_subtrees(self, param_sub: dict, stats_sub: dict):
+        """Tolerantly merge converted subtrees (keyed by top-level module
+        name) into the live state."""
+        pd = flax.serialization.to_state_dict(self.state.params)
+        pd = merge_tolerant(pd, param_sub, warn_missing=False)
+        params = flax.serialization.from_state_dict(self.state.params, pd)
+        bs = self.state.batch_stats
+        if stats_sub and bs:
+            bd = merge_tolerant(
+                flax.serialization.to_state_dict(bs), stats_sub, warn_missing=False
+            )
+            bs = flax.serialization.from_state_dict(bs, bd)
+        self.state = self.state.replace(params=params, batch_stats=bs)
+
+    def _load_pretrained(self):
+        """Consume model.{image_encoder,text_encoder}.pretrained_path and
+        model.pretrained_path (full model). Paths may be raw torch state
+        dicts (.pth/.bin/.safetensors — auto-converted by family) or
+        already-converted .msgpack checkpoints."""
+        cfg = self.cfg
+        img_path = cfg.get("model.image_encoder.pretrained_path")
+        txt_path = cfg.get("model.text_encoder.pretrained_path")
+        full_path = cfg.get("model.pretrained_path")
+        if not (img_path or txt_path or full_path):
+            return
+        from ..core.convert import (
+            convert_baseline_full,
+            convert_bert,
+            convert_convnext_torchvision,
+            convert_mibf_full,
+            convert_resnet,
+            convert_resnet_classifier,
+            load_torch_state_dict,
+        )
+
+        import contextlib
+
+        def load_sd(path):
+            if path.endswith(".msgpack"):
+                return None  # handled by load_weights (already flax-shaped)
+            return load_torch_state_dict(path)
+
+        @contextlib.contextmanager
+        def convert_context(path, what):
+            try:
+                yield
+            except KeyError as exc:
+                raise ValueError(
+                    f"{path} does not look like a {what} state dict for the "
+                    f"'{self.family}' family (missing key {exc})"
+                ) from exc
+
+        if full_path:
+            sd = load_sd(full_path)
+            if sd is None:
+                self.load_weights(full_path)
+            elif self.family == "mibf":
+                with convert_context(full_path, "Resnet50WithOurs"):
+                    p, s = convert_mibf_full(
+                        sd, num_bert_layers=self.model.bert.num_hidden_layers
+                    )
+                self._merge_subtrees(p, s)
+            elif self.family == "baseline":
+                with convert_context(full_path, "MultimodalBaselineModel"):
+                    p, s = convert_baseline_full(
+                        sd,
+                        fusion_type=cfg.get("model.fusion_type", "basic"),
+                        classifier_type=cfg.get("model.classifier_type", "mlp"),
+                        backbone=cfg.get("model.image_encoder.backbone", "resnet18"),
+                        num_bert_layers=self.model.cfg.bert.num_hidden_layers,
+                    )
+                self._merge_subtrees(p, s)
+            else:
+                raise ValueError(f"full-model import not supported for {self.family}")
+            log.info("loaded full pretrained model from %s", full_path)
+
+        if img_path:
+            sd = load_sd(img_path)
+            if sd is None:
+                self.load_weights(img_path)
+            elif self.family == "connext":
+                with convert_context(img_path, "torchvision ConvNeXt"):
+                    p = convert_convnext_torchvision(
+                        sd, variant=cfg.get("model.image_encoder.variant", "base")
+                    )
+                self._merge_subtrees({"image_encoder": p}, {})
+            elif self.family == "mibf":
+                # raw torchvision resnet50 (1000-class fc skipped by the
+                # tolerant merge) or a 768-out MIBF tower
+                with convert_context(img_path, "torchvision resnet50"):
+                    p, s = convert_resnet_classifier(sd, backbone="resnet50")
+                self._merge_subtrees({"image_encoder": p}, {"image_encoder": s})
+            else:
+                backbone = cfg.get("model.image_encoder.backbone", "resnet18")
+                with convert_context(img_path, f"torchvision {backbone}"):
+                    p, s = convert_resnet(sd, backbone=backbone)
+                self._merge_subtrees(
+                    {"image_encoder": {"trunk": p}},
+                    {"image_encoder": {"trunk": s}},
+                )
+            log.info("loaded pretrained image tower from %s", img_path)
+
+        if txt_path:
+            sd = load_sd(txt_path)
+            if sd is None:
+                self.load_weights(txt_path)
+            else:
+                bert_layers = (
+                    self.model.cfg.bert.num_hidden_layers
+                    if self.family == "baseline"
+                    else self.model.bert.num_hidden_layers
+                )
+                with convert_context(txt_path, "HF BertModel"):
+                    p, _pooler = convert_bert(sd, num_layers=bert_layers)
+                sub = {"text_encoder": {"bert": p}} if self.family == "baseline" else {
+                    "text_encoder": p
+                }
+                self._merge_subtrees(sub, {})
+            log.info("loaded pretrained text tower from %s", txt_path)
 
     def load_weights(self, path: str):
         loaded = load_checkpoint(path)

@@ -4,4 +4,6 @@ import sys
 from mdhs_tpu.cli.run_predict import main
 
 if __name__ == "__main__":
-    main(sys.argv[1:] + ["--family", "mibf"])
+    # reference variant prints per-class probabilities and macro-OVR AUC
+    # against labels (mibf_net/predict_resnet_ham_image.py:69,101-116)
+    main(sys.argv[1:] + ["--family", "mibf", "--compute_auc"])

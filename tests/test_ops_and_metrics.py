@@ -101,6 +101,24 @@ def test_metrics_vs_sklearn():
     assert abs(float(rep["auroc_macro"]) - ref_auc) < 1e-3
 
 
+def test_auroc_at_scale_with_ties():
+    """Sort/segment-based AUROC must match sklearn at real-dataset scale
+    (10k samples) including heavy ties (quantized probs)."""
+    sk = pytest.importorskip("sklearn.metrics")
+    from mdhs_tpu.train.metrics import auroc_ovr_macro
+
+    rng = np.random.default_rng(1)
+    n, k = 10000, 7
+    logits = rng.normal(size=(n, k)).astype(np.float32)
+    # quantize to force many exact ties
+    logits = np.round(logits * 4) / 4
+    labels = rng.integers(0, k, n)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    ref = sk.roc_auc_score(labels, probs, multi_class="ovr", average="macro")
+    ours = float(auroc_ovr_macro(jnp.asarray(probs), jnp.asarray(labels), k))
+    assert abs(ours - ref) < 1e-4, (ours, ref)
+
+
 def test_kan_update_grid_preserves_function():
     import flax
 
