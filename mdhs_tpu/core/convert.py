@@ -418,6 +418,110 @@ def convert_baseline_full(
 
 
 # ---------------------------------------------------------------------------
+# MambaVision (NVIDIA naming: patch_embed.conv_down.N, levels.I.blocks.J...)
+# ---------------------------------------------------------------------------
+
+def convert_mamba_vision(sd: Arrays, variant: str = "T"):
+    """NVIDIA MambaVision state_dict -> (params, batch_stats) for
+    mdhs_tpu.models.mamba_vision.MambaVision.
+
+    Reference naming (ConNexT/models/block/mamba_vision.py:1464-1962):
+    patch_embed.conv_down.{0,1,3,4}; levels.{i}.blocks.{j}.(conv1/norm1/... |
+    norm1/mixer/norm2/mlp [+gamma_1/gamma_2]); levels.{i}.downsample.
+    reduction.0; norm; head. Depthwise conv1d weights (half, 1, k) -> HIO.
+    """
+    from ..models.mamba_vision import MAMBA_VISION_SPECS, transformer_block_indices
+
+    sd = _strip_prefix(sd, "")
+    spec = MAMBA_VISION_SPECS[variant]
+    depths = spec["depths"]
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(flax_name, tname):
+        params[flax_name] = _ln(sd, tname)
+        stats[flax_name] = {
+            "mean": sd[f"{tname}.running_mean"],
+            "var": sd[f"{tname}.running_var"],
+        }
+
+    params["patch_embed"] = {
+        "conv1": {"kernel": _conv(sd["patch_embed.conv_down.0.weight"])},
+        "conv2": {"kernel": _conv(sd["patch_embed.conv_down.3.weight"])},
+        "bn1": _ln(sd, "patch_embed.conv_down.1"),
+        "bn2": _ln(sd, "patch_embed.conv_down.4"),
+    }
+    stats["patch_embed"] = {
+        "bn1": {"mean": sd["patch_embed.conv_down.1.running_mean"],
+                "var": sd["patch_embed.conv_down.1.running_var"]},
+        "bn2": {"mean": sd["patch_embed.conv_down.4.running_mean"],
+                "var": sd["patch_embed.conv_down.4.running_var"]},
+    }
+
+    for i in range(4):
+        for j in range(depths[i]):
+            t = f"levels.{i}.blocks.{j}"
+            if i < 2:
+                name = f"s{i}_conv{j}"
+                params[name] = {
+                    "conv1": {"kernel": _conv(sd[f"{t}.conv1.weight"]),
+                              "bias": sd[f"{t}.conv1.bias"]},
+                    "conv2": {"kernel": _conv(sd[f"{t}.conv2.weight"]),
+                              "bias": sd[f"{t}.conv2.bias"]},
+                    "bn1": _ln(sd, f"{t}.norm1"),
+                    "bn2": _ln(sd, f"{t}.norm2"),
+                }
+                if f"{t}.gamma" in sd:
+                    params[name]["gamma"] = sd[f"{t}.gamma"]
+                stats[name] = {
+                    "bn1": {"mean": sd[f"{t}.norm1.running_mean"],
+                            "var": sd[f"{t}.norm1.running_var"]},
+                    "bn2": {"mean": sd[f"{t}.norm2.running_mean"],
+                            "var": sd[f"{t}.norm2.running_var"]},
+                }
+            else:
+                name = f"s{i}_block{j}"
+                blk: dict = {
+                    "norm1": _ln(sd, f"{t}.norm1"),
+                    "norm2": _ln(sd, f"{t}.norm2"),
+                    "mlp_up": _dense(sd, f"{t}.mlp.fc1"),
+                    "mlp_down": _dense(sd, f"{t}.mlp.fc2"),
+                }
+                if f"{t}.gamma_1" in sd:
+                    blk["gamma_1"] = sd[f"{t}.gamma_1"]
+                    blk["gamma_2"] = sd[f"{t}.gamma_2"]
+                if f"{t}.mixer.qkv.weight" in sd:  # attention block
+                    attn = {"qkv": {"kernel": _lin(sd[f"{t}.mixer.qkv.weight"])},
+                            "proj": _dense(sd, f"{t}.mixer.proj")}
+                    if f"{t}.mixer.qkv.bias" in sd:
+                        attn["qkv"]["bias"] = sd[f"{t}.mixer.qkv.bias"]
+                    blk["attn"] = attn
+                else:  # mamba mixer
+                    blk["mixer"] = {
+                        "in_proj": {"kernel": _lin(sd[f"{t}.mixer.in_proj.weight"])},
+                        "x_proj": {"kernel": _lin(sd[f"{t}.mixer.x_proj.weight"])},
+                        "out_proj": {"kernel": _lin(sd[f"{t}.mixer.out_proj.weight"])},
+                        "dt_proj_kernel": _lin(sd[f"{t}.mixer.dt_proj.weight"]),
+                        "dt_proj_bias": sd[f"{t}.mixer.dt_proj.bias"],
+                        "A_log": sd[f"{t}.mixer.A_log"],
+                        "D": sd[f"{t}.mixer.D"],
+                        # torch depthwise conv1d (half, 1, k) -> flax HIO (k, 1, half)
+                        "conv1d_x": np.transpose(sd[f"{t}.mixer.conv1d_x.weight"], (2, 1, 0)),
+                        "conv1d_z": np.transpose(sd[f"{t}.mixer.conv1d_z.weight"], (2, 1, 0)),
+                    }
+                params[name] = blk
+        if f"levels.{i}.downsample.reduction.0.weight" in sd:
+            params[f"ds{i + 1}"] = {
+                "kernel": _conv(sd[f"levels.{i}.downsample.reduction.0.weight"])
+            }
+    if "norm.weight" in sd:
+        bn("norm", "norm")
+    if "head.weight" in sd:
+        params["head"] = _dense(sd, "head")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
 # ConvNeXt (torchvision naming: features.N...)
 # ---------------------------------------------------------------------------
 

@@ -117,6 +117,10 @@ class KANLinear(nn.Module):
 
         orig_shape = x.shape
         x2 = x.reshape(-1, self.in_features).astype(jnp.float32)
+        # Captured only when "intermediates" is mutable: feeds the adaptive
+        # re-gridding hook (Trainer._kan_regrid; reference kan1.py:258-264
+        # update_grid=True re-grids from the live inputs).
+        self.sow("intermediates", "input", x2)
         # Fused Pallas kernel on TPU (bases stay in VMEM); jnp fallback
         # elsewhere (ops/kan_spline.py).
         out = kan_forward(
@@ -162,46 +166,73 @@ class KAN(nn.Module):
         return x
 
 
+def _np_b_splines(x, grid, spline_order):
+    """Numpy Cox–de Boor (host math, mirrors b_splines)."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)[..., None]  # (batch, in, 1)
+    g = np.asarray(grid, np.float32)[None]  # (1, in, n_pts)
+    bases = ((x >= g[..., :-1]) & (x < g[..., 1:])).astype(np.float32)
+    for k in range(1, spline_order + 1):
+        left = (x - g[..., : -(k + 1)]) / (g[..., k:-1] - g[..., : -(k + 1)])
+        right = (g[..., k + 1 :] - x) / (g[..., k + 1 :] - g[..., 1:-k])
+        bases = left * bases[..., :-1] + right * bases[..., 1:]
+    return bases
+
+
 def kan_update_grid(params, kan_state, x, layer_path, *, grid_size=5, spline_order=3,
                     grid_eps=0.02, margin=0.01):
     """Functional adaptive re-gridding (reference kan1.py:167-214).
 
     Returns (new_params, new_kan_state) with the layer's grid moved toward
-    the empirical input distribution and spline_weight refit by lstsq so the
-    layer's function is preserved.
+    the empirical input distribution and spline_weight refit (batched
+    pseudo-inverse lstsq) so the layer's function is preserved. Host numpy
+    throughout — this runs between jitted steps; op-by-op device dispatch
+    would dominate (per-dispatch RPC to the TPU is ~30-40ms).
     """
     import flax
+    import numpy as np
 
     p = flax.traverse_util.flatten_dict(params, sep="/")
     s = flax.traverse_util.flatten_dict(kan_state, sep="/")
     pre = f"{layer_path}/" if layer_path else ""
-    grid = s[f"{pre}grid"]
+    grid = np.asarray(s[f"{pre}grid"], np.float32)
     spline_w = p[f"{pre}spline_weight"]
+    spline_w_np = np.asarray(spline_w, np.float32)
     scaler = p.get(f"{pre}spline_scaler")
+    scaler_np = None if scaler is None else np.asarray(scaler, np.float32)
 
-    x = x.reshape(-1, grid.shape[0]).astype(jnp.float32)
+    x = np.asarray(x, np.float32).reshape(-1, grid.shape[0])
     batch = x.shape[0]
-    splines = b_splines(x, grid, spline_order)  # (batch, in, coeff)
-    coeff = spline_w * (scaler[..., None] if scaler is not None else 1.0)
-    unreduced = jnp.einsum("bic,oic->bio", splines, coeff)  # (batch, in, out)
+    splines = _np_b_splines(x, grid, spline_order)  # (batch, in, coeff)
+    coeff = spline_w_np * (scaler_np[..., None] if scaler_np is not None else 1.0)
+    unreduced = np.einsum("bic,oic->bio", splines, coeff)  # (batch, in, out)
 
-    x_sorted = jnp.sort(x, axis=0)
-    idx = jnp.linspace(0, batch - 1, grid_size + 1).astype(jnp.int32)
+    x_sorted = np.sort(x, axis=0)
+    idx = np.linspace(0, batch - 1, grid_size + 1).astype(np.int32)
     grid_adaptive = x_sorted[idx]  # (G+1, in)
     step = (x_sorted[-1] - x_sorted[0] + 2 * margin) / grid_size
     grid_uniform = (
-        jnp.arange(grid_size + 1, dtype=jnp.float32)[:, None] * step + x_sorted[0] - margin
+        np.arange(grid_size + 1, dtype=np.float32)[:, None] * step + x_sorted[0] - margin
     )
     new_core = grid_eps * grid_uniform + (1 - grid_eps) * grid_adaptive
-    lo = new_core[:1] - step * jnp.arange(spline_order, 0, -1, dtype=jnp.float32)[:, None]
-    hi = new_core[-1:] + step * jnp.arange(1, spline_order + 1, dtype=jnp.float32)[:, None]
-    new_grid = jnp.concatenate([lo, new_core, hi], axis=0).T  # (in, n_pts)
+    lo = new_core[:1] - step * np.arange(spline_order, 0, -1, dtype=np.float32)[:, None]
+    hi = new_core[-1:] + step * np.arange(1, spline_order + 1, dtype=np.float32)[:, None]
+    new_grid = np.concatenate([lo, new_core, hi], axis=0).T  # (in, n_pts)
 
-    new_coeff = curve2coeff(x, unreduced, new_grid, spline_order)
-    if scaler is not None:
-        new_coeff = new_coeff / jnp.where(jnp.abs(scaler[..., None]) < 1e-8, 1.0, scaler[..., None])
-    p[f"{pre}spline_weight"] = new_coeff.astype(spline_w.dtype)
-    s[f"{pre}grid"] = new_grid
+    # batched lstsq: sol_i = pinv(A_i) @ B_i per input feature
+    A = _np_b_splines(x, new_grid, spline_order).transpose(1, 0, 2)  # (in, batch, C)
+    B = unreduced.transpose(1, 0, 2)  # (in, batch, out)
+    sol = np.linalg.pinv(A) @ B  # (in, C, out)
+    new_coeff = sol.transpose(2, 0, 1)  # (out, in, C)
+    if scaler_np is not None:
+        new_coeff = new_coeff / np.where(
+            np.abs(scaler_np[..., None]) < 1e-8, 1.0, scaler_np[..., None]
+        )
+    p[f"{pre}spline_weight"] = jnp.asarray(
+        new_coeff, getattr(spline_w, "dtype", jnp.float32)
+    )
+    s[f"{pre}grid"] = jnp.asarray(new_grid)
     return (
         flax.traverse_util.unflatten_dict(p, sep="/"),
         flax.traverse_util.unflatten_dict(s, sep="/"),

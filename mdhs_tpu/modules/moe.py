@@ -152,7 +152,7 @@ class MoE(nn.Module):
             in_axes=None,
             out_axes=0,
             axis_size=self.num_experts,
-            variable_axes={"params": 0, "kan_state": 0},
+            variable_axes={"params": 0, "kan_state": 0, "intermediates": 0},
             split_rngs={"params": True},
         )
         expert_out = ExpertBank(

@@ -715,6 +715,104 @@ class Trainer:
             "step": np.asarray(self.state.step),
         }
 
+    def _kan_regrid(self, batch):
+        """Adaptive KAN re-gridding between steps (reference exposes it as
+        KAN1.forward(update_grid=True), kan1.py:167-214, 258-264).
+
+        Runs one capture forward to collect each KANLinear's live inputs,
+        then functionally refits every layer's grid + spline coefficients
+        (function-preserving lstsq) on the host. Triggered every
+        training.kan_update_grid_every steps by fit()."""
+        from ..modules.kan import kan_update_grid
+
+        if not self.state.kan_state:
+            return
+        if getattr(self, "_kan_capture_fn", None) is None:
+            # one jitted capture forward — an un-jitted apply would dispatch
+            # op-by-op through the device relay (~35ms each)
+            def _capture(variables, batch):
+                images = self._preprocess_eval(batch["image"])
+                if self.family == "baseline":
+                    return self.model.apply(
+                        variables, images, batch["input_ids"], batch["attention_mask"],
+                        tabular_input=batch.get("tabular"),
+                        ablation_mode=self.ablation_mode,
+                        mutable=["intermediates"],
+                    )[1]
+                if self.family == "mibf":
+                    return self.model.apply(
+                        variables, images, batch["input_ids"], batch["attention_mask"],
+                        mutable=["intermediates"],
+                    )[1]
+                return self.model.apply(
+                    variables, images, batch["input_ids"], batch["attention_mask"],
+                    first_hidden=batch.get("first_hidden"),
+                    last_hidden=batch.get("last_hidden"),
+                    mutable=["intermediates"],
+                )[1]
+
+            self._kan_capture_fn = jax.jit(_capture)
+        variables = {"params": self.state.params, "kan_state": self.state.kan_state}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        mut = self._kan_capture_fn(variables, batch)
+        inter = flax.traverse_util.flatten_dict(
+            flax.serialization.to_state_dict(mut.get("intermediates", {})), sep="/"
+        )
+        params = flax.serialization.to_state_dict(self.state.params)
+        kan_state = flax.serialization.to_state_dict(self.state.kan_state)
+        flat_state = flax.traverse_util.flatten_dict(kan_state, sep="/")
+        n = 0
+        for key in list(flat_state):
+            if not key.endswith("/grid"):
+                continue
+            layer_path = key[: -len("/grid")]
+            x = inter.get(f"{layer_path}/input/0")
+            if x is None:
+                continue
+            grid = flat_state[key]
+            # derive (grid_size, spline_order) from shapes:
+            # grid (..., in, G+2K+1); spline_weight (..., out, in, G+K)
+            sw_key = f"{layer_path}/spline_weight"
+            p_flat = flax.traverse_util.flatten_dict(params, sep="/")
+            n_pts = grid.shape[-1]
+            n_coeff = p_flat[sw_key].shape[-1]
+            spline_order = n_pts - n_coeff - 1
+            grid_size = n_coeff - spline_order
+            if grid.ndim == 3:
+                # vmapped expert bank (MoE): re-grid each expert with its
+                # own captured inputs (deeper layers differ per expert)
+                new_sw, new_grid = [], []
+                for e in range(grid.shape[0]):
+                    x_e = x[e] if x.ndim == 3 else x
+                    sub_p = {"spline_weight": p_flat[sw_key][e]}
+                    if f"{layer_path}/spline_scaler" in p_flat:
+                        sub_p["spline_scaler"] = p_flat[f"{layer_path}/spline_scaler"][e]
+                    up, us = kan_update_grid(
+                        sub_p, {"grid": grid[e]}, x_e, "",
+                        grid_size=grid_size, spline_order=spline_order,
+                    )
+                    new_sw.append(up["spline_weight"])
+                    new_grid.append(us["grid"])
+                p_flat[sw_key] = jnp.stack(new_sw)
+                flat_state[key] = jnp.stack(new_grid)
+                params = flax.traverse_util.unflatten_dict(p_flat, sep="/")
+            else:
+                params, ks = kan_update_grid(
+                    params, kan_state, x, layer_path,
+                    grid_size=grid_size, spline_order=spline_order,
+                )
+                flat_state[key] = flax.traverse_util.flatten_dict(ks, sep="/")[key]
+            n += 1
+        if not n:
+            return
+        kan_state = flax.traverse_util.unflatten_dict(flat_state, sep="/")
+        self.state = self.state.replace(
+            params=flax.serialization.from_state_dict(self.state.params, params),
+            kan_state=flax.serialization.from_state_dict(self.state.kan_state, kan_state),
+        )
+        log.info("re-gridded %d KAN layer(s)", n)
+
     def _merge_subtrees(self, param_sub: dict, stats_sub: dict):
         """Tolerantly merge converted subtrees (keyed by top-level module
         name) into the live state."""
@@ -859,6 +957,7 @@ class Trainer:
         if prof_steps:
             jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
         log_every = int(self.cfg.get("training.log_every", 100))
+        regrid_every = int(self.cfg.get("training.kan_update_grid_every", 0) or 0)
         es_cfg = self.cfg.get("training.early_stopping", {})
         es_patience = int(es_cfg.get("patience", 0)) if es_cfg.get("enabled") else 0
         best_val, es_bad = -float("inf"), 0
@@ -879,6 +978,10 @@ class Trainer:
                     prof_steps = 0
                 if global_step % log_every == 0:
                     self.writer.scalar("Loss/Train_Batch", float(m["loss"]), global_step)
+                if regrid_every and self.state.kan_state and (
+                    global_step % regrid_every == 0
+                ):
+                    self._kan_regrid(jb)
             avg_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
             val_loss, val_acc = self.validate()
             if bool(self.cfg.get("training.log_per_class", False)):

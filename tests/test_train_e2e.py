@@ -24,6 +24,49 @@ def make_cfg(root, paths, **model_overrides):
     return Config(cfg)
 
 
+def test_kan_regrid_during_training(synth, tmp_path):
+    """training.kan_update_grid_every re-grids live KAN layers (MoE expert
+    bank here) between steps; function must be preserved (reference
+    kan1.py:167-214 update_grid refits coefficients by lstsq)."""
+    from mdhs_tpu.train.trainer import Trainer
+
+    root, paths = synth
+    cfg = synthetic_config(paths, str(root), batch_size=4, num_epochs=1,
+                          hidden_dim=32, max_length=16)
+    cfg["data"]["canvas"] = 56
+    cfg["data"]["image_size"] = 48
+    cfg["model"]["classifier_type"] = "moe"
+    cfg["model"]["moe"] = {"num_experts": 2, "k": 1}
+    cfg["training"]["kan_update_grid_every"] = 1
+    tr = Trainer(Config(cfg), family="baseline", output_dir=str(tmp_path / "regrid"))
+
+    batch = next(iter(tr.train_loader))
+    jb = {k: np.asarray(v) for k, v in batch.items() if k != "image_id"}
+    import jax.numpy as jnp
+    jbj = {k: jnp.asarray(v) for k, v in jb.items()}
+    val_step = tr._val_step_fn()
+    before_grid = np.asarray(next(iter(
+        v for k, v in __import__("flax").traverse_util.flatten_dict(
+            __import__("flax").serialization.to_state_dict(tr.state.kan_state), sep="/"
+        ).items() if k.endswith("/grid")
+    )))
+    logits_before = np.asarray(val_step(tr.state, jbj), np.float32)
+    tr._kan_regrid(jbj)
+    after_grid = np.asarray(next(iter(
+        v for k, v in __import__("flax").traverse_util.flatten_dict(
+            __import__("flax").serialization.to_state_dict(tr.state.kan_state), sep="/"
+        ).items() if k.endswith("/grid")
+    )))
+    assert not np.allclose(before_grid, after_grid), "grid did not move"
+    logits_after = np.asarray(tr._val_step_fn()(tr.state, jbj), np.float32)
+    # function preserved across the refit (loose: lstsq refit on a finite
+    # batch; bf16 model)
+    np.testing.assert_allclose(logits_after, logits_before, atol=0.05, rtol=0.05)
+    # training continues fine through the fit() hook
+    state = tr.fit()
+    assert int(state.step) == len(tr.train_loader)
+
+
 def test_baseline_train_loop(synth, tmp_path):
     from mdhs_tpu.train.trainer import Trainer
 
