@@ -19,6 +19,9 @@ seq/s; ResNet50 (TF32 convs) ~2500 img/s; serially composed ~480 img/s
 before DataLoader overhead. We use 500 img/s as a slightly conservative
 reference. North star is >=5x.
 
+Scored value = the DEFAULT exact-parity mode (fast_math=False). The
+fast_math serving preset is reported in `serving_preset_ips` but not scored.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
@@ -39,7 +42,6 @@ from mdhs_tpu.ops.preprocess import eval_pipeline
 
 A100_PYTORCH_REF_IPS = 500.0  # see module docstring for the derivation
 
-BATCH = 256
 SEQ_LEN = 128
 CANVAS = 256
 IMAGE_SIZE = 224
@@ -48,20 +50,19 @@ K_STEPS = 8
 N_TIMED = 3
 
 
-def main():
-    # fast_math: bf16 softmax + tanh GELU — the framework's serving preset
-    # (config knob model.fast_math; exact-parity mode is the default).
+def measure_throughput(fast_math: bool, batch: int) -> float:
+    """Steady-state eval images/sec for one (mode, batch) point."""
     model = MIBFNet(
-        num_labels=NUM_CLASSES, bert=BertConfig(fast_math=True), dtype=jnp.bfloat16
+        num_labels=NUM_CLASSES, bert=BertConfig(fast_math=fast_math), dtype=jnp.bfloat16
     )
     rng = jax.random.PRNGKey(0)
     images_u8 = jnp.asarray(
-        np.random.default_rng(0).integers(0, 255, (BATCH, CANVAS, CANVAS, 3), np.uint8)
+        np.random.default_rng(0).integers(0, 255, (batch, CANVAS, CANVAS, 3), np.uint8)
     )
     input_ids = jnp.asarray(
-        np.random.default_rng(1).integers(0, 30000, (BATCH, SEQ_LEN), np.int32)
+        np.random.default_rng(1).integers(0, 30000, (batch, SEQ_LEN), np.int32)
     )
-    mask = jnp.ones((BATCH, SEQ_LEN), jnp.int32)
+    mask = jnp.ones((batch, SEQ_LEN), jnp.int32)
 
     ex_images = eval_pipeline(images_u8[:2], IMAGE_SIZE, normalize=False)
     variables = jax.jit(
@@ -87,30 +88,59 @@ def main():
     for _ in range(N_TIMED):
         np.asarray(step_chain(variables, images_u8, input_ids, mask))
     elapsed = time.perf_counter() - t0
-    ips = N_TIMED * K_STEPS * BATCH / elapsed
+    return N_TIMED * K_STEPS * batch / elapsed
 
-    # p50 single-sample predict latency (wall, incl. dispatch)
+
+def measure_p50_latency(fast_math: bool) -> float:
+    """p50 single-sample predict latency in ms (wall, incl. dispatch)."""
+    model = MIBFNet(
+        num_labels=NUM_CLASSES, bert=BertConfig(fast_math=fast_math), dtype=jnp.bfloat16
+    )
+    rng = jax.random.PRNGKey(0)
+    im = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (1, CANVAS, CANVAS, 3), np.uint8)
+    )
+    ii = jnp.asarray(np.random.default_rng(1).integers(0, 30000, (1, SEQ_LEN), np.int32))
+    am = jnp.ones((1, SEQ_LEN), jnp.int32)
+
+    ex_images = eval_pipeline(im, IMAGE_SIZE, normalize=False)
+    variables = jax.jit(lambda r: model.init({"params": r}, ex_images, ii, am))(rng)
+    variables = {k: v for k, v in variables.items() if k != "perturbations"}
+
     @jax.jit
     def single(variables, im, ii, am):
         images = eval_pipeline(im, IMAGE_SIZE, normalize=False)
         return model.apply(variables, images, ii, am)["image_text"].argmax(-1)
 
-    s_args = (images_u8[:1], input_ids[:1], mask[:1])
-    np.asarray(single(variables, *s_args))
+    np.asarray(single(variables, im, ii, am))
     lats = []
     for _ in range(20):
         t0 = time.perf_counter()
-        np.asarray(single(variables, *s_args))
+        np.asarray(single(variables, im, ii, am))
         lats.append(time.perf_counter() - t0)
-    p50_ms = float(np.median(lats) * 1000)
+    return float(np.median(lats) * 1000)
+
+
+def main():
+    # Scored number: the DEFAULT exact-parity mode (fast_math=False — f32
+    # softmax + exact GELU, bit-parity-tested vs HF in
+    # tests/test_torch_parity.py). normalize=False matches the MIBF reference
+    # pipeline, which has no Normalize (reference dataset_spine.py:62-69).
+    # The fast_math serving preset (config knob model.fast_math) is reported
+    # alongside, not scored.
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    ips = measure_throughput(fast_math=False, batch=batch)
+    p50_ms = measure_p50_latency(fast_math=False)
+    serving_ips = measure_throughput(fast_math=True, batch=batch)
 
     result = {
-        "metric": "images/sec/chip (ResNet50+BERT eval on HAM)",
+        "metric": "images/sec/chip (ResNet50+BERT eval on HAM, default parity mode)",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / A100_PYTORCH_REF_IPS, 2),
         "p50_predict_latency_ms": round(p50_ms, 2),
-        "batch": BATCH,
+        "serving_preset_ips": round(serving_ips, 1),
+        "batch": batch,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Training-step throughput through the REAL Trainer (not a hand-rolled step).
+
+Builds a MIBF-family Trainer (ResNet50 + BERT-base, MP-Loss, Adam) on a
+synthetic on-disk dataset at real shapes (canvas 256 -> 224 crop, seq 128),
+then times the jitted train step: K steps are enqueued back-to-back on one
+device-resident batch (async dispatch pipelines the ~30-40ms relay RPC), a
+single host fetch closes the chain. Each step consumes the state returned
+by the previous one, so XLA cannot elide any of them.
+
+Diagnostic benchmark; bench.py (eval path) is the scored entry point.
+"""
+
+import json
+import os
+import tempfile
+import time
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import jax
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+K = 10
+
+
+def main():
+    from mdhs_tpu.core.config import Config
+    from mdhs_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
+
+    with tempfile.TemporaryDirectory() as tmp:
+        paths = generate_synthetic_dataset(
+            tmp, num_images=BATCH, num_classes=7, image_size=256
+        )
+        cd = synthetic_config(paths, tmp, batch_size=BATCH, num_epochs=1,
+                              max_length=128)
+        cd["data"]["canvas"] = 256
+        cd["data"]["image_size"] = 224
+        cd["model"]["text_encoder"]["preset"] = "base"
+        cd["training"]["precision"] = "bf16"
+        cd["training"]["learning_rate"] = 1e-4
+
+        from mdhs_tpu.train.trainer import Trainer
+
+        trainer = Trainer(Config(cd), family="mibf",
+                          output_dir=os.path.join(tmp, "run"))
+        step = trainer.train_step_fn()
+        batch = trainer._device_batch(next(iter(trainer.train_loader)))
+
+        state, metrics = step(trainer.state, batch, trainer.rng)  # compile
+        jax.block_until_ready(metrics["loss"])
+
+        t0 = time.perf_counter()
+        for _ in range(K):
+            state, metrics = step(state, batch, trainer.rng)
+        loss = float(metrics["loss"])  # hard fetch closes the chain
+        elapsed = time.perf_counter() - t0
+
+        ips = K * BATCH / elapsed
+        print(json.dumps({
+            "metric": "train images/sec/chip (MIBF ResNet50+BERT, fused aug+fwd+bwd+update)",
+            "value": round(ips, 1),
+            "unit": "images/sec/chip",
+            "step_ms": round(elapsed / K * 1e3, 2),
+            "final_loss": round(loss, 4),
+            "batch": BATCH,
+            "backend": jax.default_backend(),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,11 @@ class BertConfig:
     # Serving-speed mode: bf16 softmax (no f32 upcast) + tanh-approx GELU.
     # ~30% faster on TPU v5e at seq 128; off by default for exact HF parity.
     fast_math: bool = False
+    # "xla" (einsum + softmax, exact) or "flash" (Pallas TPU flash-attention
+    # kernel: tiled online softmax in VMEM, no HBM score materialization;
+    # f32 accumulation, padding handled via segment ids). Config knob
+    # model.text_encoder.attention_impl.
+    attention_impl: str = "xla"
 
     @classmethod
     def tiny(cls) -> "BertConfig":
@@ -53,7 +58,7 @@ class BertSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, hidden, attn_bias, deterministic: bool):
+    def __call__(self, hidden, attn_bias, deterministic: bool, attention_mask=None):
         c = self.cfg
         head_dim = c.hidden_size // c.num_attention_heads
         dense = lambda name: nn.Dense(c.hidden_size, dtype=self.dtype, name=name)
@@ -65,6 +70,32 @@ class BertSelfAttention(nn.Module):
             return x.reshape(*x.shape[:-1], c.num_attention_heads, head_dim)
 
         q, k, v = split(q), split(k), split(v)
+        use_flash = (
+            c.attention_impl == "flash"
+            and (deterministic or c.attention_dropout == 0.0)
+            and hidden.shape[1] % 128 == 0
+        )
+        if use_flash:
+            # Pallas TPU flash attention: tiled online softmax entirely in
+            # VMEM — the (B,H,L,L) score tensor never hits HBM (the XLA path
+            # materializes it twice per layer). f32 accumulation inside the
+            # kernel, so numerics sit between fast_math and the exact path.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention)
+
+            seg = None
+            if attention_mask is not None:
+                ids = attention_mask.astype(jnp.int32)  # pad=0, real=1
+                seg = SegmentIds(q=ids, kv=ids)
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                segment_ids=seg,
+                sm_scale=float(head_dim) ** -0.5,
+            )
+            ctx = ctx.transpose(0, 2, 1, 3).astype(self.dtype)
+            return ctx.reshape(*hidden.shape[:-1], c.hidden_size)
         if c.fast_math:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.asarray(
                 head_dim**0.5, self.dtype
@@ -87,11 +118,11 @@ class BertLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, hidden, attn_bias, deterministic: bool):
+    def __call__(self, hidden, attn_bias, deterministic: bool, attention_mask=None):
         c = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name=name)
         attn_out = BertSelfAttention(c, dtype=self.dtype, name="attention")(
-            hidden, attn_bias, deterministic
+            hidden, attn_bias, deterministic, attention_mask=attention_mask
         )
         attn_out = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output")(attn_out)
         attn_out = nn.Dropout(c.hidden_dropout)(attn_out, deterministic=deterministic)
@@ -147,7 +178,7 @@ class BertModel(nn.Module):
         all_hidden = [hidden]
         for i in range(c.num_hidden_layers):
             hidden = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(
-                hidden, attn_bias, deterministic
+                hidden, attn_bias, deterministic, attention_mask=attention_mask
             )
             all_hidden.append(hidden)
         return hidden, tuple(all_hidden)

@@ -50,6 +50,49 @@ class ConvNeXtBlock(nn.Module):
         return x + gamma.astype(self.dtype) * h
 
 
+class ConvNeXtEncoder(nn.Module):
+    """Headless ConvNeXt + projection to ``output_dim``.
+
+    Parity: the reference's timm-based factory (ConNexT/models/image_encoder.py:16-76)
+    strips the classifier and autodetects the backbone feature dim (attribute
+    probe, falling back to a dummy forward) before adding Linear(feat, out).
+    Flax shape inference *is* that autodetect: ``nn.Dense`` resolves its input
+    dim from the pooled feature at init, for any variant, with no probe pass.
+    """
+
+    output_dim: int = 768
+    variant: str = "large"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat = ConvNeXt(variant=self.variant, dtype=self.dtype, name="backbone")(
+            x, train=train
+        )
+        pooled = feat.mean(axis=(1, 2))  # timm forward_features + GAP semantics
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(pooled)
+
+
+def create_convnext_encoder(
+    output_dim: int = 768,
+    model_variant: str = "large",
+    dtype: jnp.dtype = jnp.bfloat16,
+    **_kwargs,
+) -> ConvNeXtEncoder:
+    """Factory mirroring reference create_convnext_encoder (image_encoder.py:70-76).
+
+    ``pretrained``/``model_paths`` enter through the config pretrained_path
+    mechanism (core/convert.convert_convnext + checkpoint merge) rather than
+    timm's hub download (zero-egress environment).
+    """
+    variant = model_variant.replace("convnext_", "")
+    if variant not in CONVNEXT_SPECS:
+        raise ValueError(
+            f"unknown ConvNeXt variant {model_variant!r}; have {sorted(CONVNEXT_SPECS)}"
+        )
+    return ConvNeXtEncoder(output_dim=output_dim, variant=variant, dtype=dtype)
+
+
 class ConvNeXt(nn.Module):
     """ConvNeXt trunk; returns the final NHWC feature map (no pooling/head)."""
 

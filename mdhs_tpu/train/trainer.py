@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 import os
 import time
 from functools import partial
@@ -69,12 +70,15 @@ class TrainState:
 def bert_config_from(cfg: Config, vocab_size: int) -> BertConfig:
     preset = cfg.get("model.text_encoder.preset", "base")
     fast = bool(cfg.get("model.fast_math", False))
+    impl = cfg.get("model.text_encoder.attention_impl", "xla")
     if preset == "tiny":
         base = BertConfig.tiny()
         return dataclasses.replace(
-            base, vocab_size=max(vocab_size, base.vocab_size), fast_math=fast
+            base, vocab_size=max(vocab_size, base.vocab_size), fast_math=fast,
+            attention_impl=impl,
         )
-    return BertConfig(vocab_size=max(vocab_size, 30522), fast_math=fast)
+    return BertConfig(vocab_size=max(vocab_size, 30522), fast_math=fast,
+                      attention_impl=impl)
 
 
 def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype=None):
@@ -143,10 +147,25 @@ class Trainer:
         # default is the fused device pipeline
         self.host_augment = bool(aug.get("host", False))
         self.stain_cfg = cfg.get("data.stain_normalization", {})
-        # (data, model) mesh over all attached devices: pure DP by default
-        # (reference DataParallel/DDP surface), model axis opt-in for
-        # TP/EP sharding of wide layers and expert banks.
-        self.mesh = make_mesh(n_model=int(cfg.get("parallel.n_model", 1)))
+        # (data, model) mesh: pure DP by default (reference DataParallel/DDP
+        # surface), model axis opt-in for TP/EP sharding of wide layers and
+        # expert banks. The data axis is capped at gcd(batch, devices): a
+        # batch that doesn't divide across every device runs on the largest
+        # subset it does divide across (torch DataParallel can't split batch
+        # 4 over 8 GPUs either); leftover devices idle.
+        n_model = int(cfg.get("parallel.n_model", 1))
+        n_avail = len(jax.devices()) // n_model
+        batch_sz = int(cfg.get("training.batch_size", 32))
+        n_data = math.gcd(batch_sz, n_avail) or 1
+        self.mesh = make_mesh(
+            n_data=n_data, n_model=n_model,
+            devices=jax.devices()[: n_data * n_model],
+        )
+        if n_data * n_model < len(jax.devices()):
+            log.info(
+                "mesh uses %d of %d devices (batch_size %d gcd)",
+                n_data * n_model, len(jax.devices()), batch_sz,
+            )
         self.rng = jax.random.PRNGKey(int(cfg.get("training.seed", 0)))
 
         self.tokenizer = load_tokenizer(

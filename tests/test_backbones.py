@@ -32,6 +32,24 @@ def test_convnext_map():
     assert out.shape == (1, 2, 2, 768)
 
 
+def test_convnext_encoder_factory_autodetect():
+    # Reference factory autodetects the backbone feature dim before the
+    # projection (ConNexT/models/image_encoder.py:39-59); Flax shape
+    # inference resolves it at init for any variant.
+    from mdhs_tpu.models.convnext import create_convnext_encoder
+
+    m = create_convnext_encoder(output_dim=256, model_variant="convnext_tiny",
+                                dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r: m.init(r, x))(KEY)
+    out = jax.jit(m.apply)(v, x)
+    assert out.shape == (1, 256)
+    # projection kernel input dim was inferred as the tiny stage-4 width
+    assert v["params"]["projection"]["kernel"].shape == (768, 256)
+    with pytest.raises(ValueError):
+        create_convnext_encoder(model_variant="convnext_xxl")
+
+
 def test_mamba_vision_encoder():
     from mdhs_tpu.models.mamba_vision import MambaVisionEncoder
 
@@ -68,3 +86,33 @@ def test_multimodal_mamba_fusion():
     v = jax.jit(lambda r: m.init(r, text, img, fh, lh))(KEY)
     out = jax.jit(m.apply)(v, text, img, fh, lh)
     assert out.shape == (2, 12, 16)  # 1 + 9 + 1 + 1 tokens
+
+
+def test_bert_flash_attention_parity():
+    # Flash path (Pallas TPU kernel) vs exact XLA path, with a padding mask.
+    # f32 accumulation inside the kernel -> close to the f32-softmax path.
+    import dataclasses
+    from mdhs_tpu.models.bert import BertConfig, BertModel
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("Pallas TPU flash-attention kernel needs a TPU backend")
+
+    cfg = dataclasses.replace(
+        BertConfig.tiny(), num_attention_heads=1, hidden_size=128,
+        intermediate_size=256,
+    )
+    ids = jax.random.randint(KEY, (2, 128), 0, cfg.vocab_size)
+    mask = jnp.concatenate(
+        [jnp.ones((2, 100), jnp.int32), jnp.zeros((2, 28), jnp.int32)], axis=1
+    )
+    xla_model = BertModel(cfg, dtype=jnp.bfloat16)
+    v = jax.jit(lambda r: xla_model.init(r, ids, mask))(KEY)
+    ref, _ = jax.jit(xla_model.apply)(v, ids, mask)
+    flash_model = BertModel(
+        dataclasses.replace(cfg, attention_impl="flash"), dtype=jnp.bfloat16
+    )
+    out, _ = jax.jit(flash_model.apply)(v, ids, mask)
+    # only non-padded positions are meaningful
+    ref = jnp.asarray(ref, jnp.float32)[:, :100]
+    out = jnp.asarray(out, jnp.float32)[:, :100]
+    assert jnp.max(jnp.abs(ref - out)) < 0.05, float(jnp.max(jnp.abs(ref - out)))

@@ -86,3 +86,41 @@ def test_analysis_cli(trained, tmp_path):
     assert result["effective_rank"] > 0
     cams = glob.glob(os.path.join(out_dir, "cam_*.jpg"))
     assert len(cams) == 3
+
+
+def test_export_serving_cli(trained, tmp_path):
+    # AOT serving artifact: export, deserialize, run one batch; logits must
+    # match the live eval step on the same inputs.
+    import numpy as np
+
+    from mdhs_tpu.cli.export_serving import load_and_run, main as export_main
+    from mdhs_tpu.cli.common import build_trainer
+
+    root, paths, cfg_path, ckpt = trained
+    art = str(tmp_path / "model.jaxexport")
+    info = export_main([
+        "--config", cfg_path, "--model_path", ckpt, "--output", art,
+        "--batch_size", "4", "--smoke_test",
+    ])
+    assert info["bytes"] > 0 and os.path.exists(art)
+    assert info["smoke_finite"]
+
+    trainer = build_trainer(cfg_path, setup_data=False)
+    trainer.load_weights(ckpt)
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": rng.integers(0, 255, (4, 56, 56, 3)).astype(np.uint8),
+        "input_ids": rng.integers(0, 100, (4, 16)).astype(np.int32),
+        "attention_mask": np.ones((4, 16), np.int32),
+    }
+    if info["inputs"].get("tabular"):
+        batch["tabular"] = rng.random(
+            tuple(info["inputs"]["tabular"][0])).astype(np.float32)
+    got = np.asarray(load_and_run(art, batch), np.float32)
+    import jax.numpy as jnp
+    want = np.asarray(
+        trainer.eval_step_fn()(trainer.state, {k: jnp.asarray(v) for k, v in batch.items()}),
+        np.float32,
+    )
+    assert got.shape == want.shape == (4, 7)
+    np.testing.assert_allclose(got, want, atol=1e-5)
