@@ -16,6 +16,7 @@ import dataclasses
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -87,13 +88,17 @@ class BertSelfAttention(nn.Module):
             if attention_mask is not None:
                 ids = attention_mask.astype(jnp.int32)  # pad=0, real=1
                 seg = SegmentIds(q=ids, kv=ids)
-            ctx = flash_attention(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                segment_ids=seg,
-                sm_scale=float(head_dim) ** -0.5,
-            )
+            # pin matmul precision: a global "highest" default (used by f32
+            # parity tests) asks Mosaic for multi-pass bf16 emulation inside
+            # the kernel, which it cannot compile
+            with jax.default_matmul_precision("default"):
+                ctx = flash_attention(
+                    q.transpose(0, 2, 1, 3),
+                    k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3),
+                    segment_ids=seg,
+                    sm_scale=float(head_dim) ** -0.5,
+                )
             ctx = ctx.transpose(0, 2, 1, 3).astype(self.dtype)
             return ctx.reshape(*hidden.shape[:-1], c.hidden_size)
         if c.fast_math:
