@@ -35,11 +35,17 @@ class BertConfig:
     # Serving-speed mode: bf16 softmax (no f32 upcast) + tanh-approx GELU.
     # ~30% faster on TPU v5e at seq 128; off by default for exact HF parity.
     fast_math: bool = False
-    # "xla" (einsum + softmax, exact) or "flash" (Pallas TPU flash-attention
-    # kernel: tiled online softmax in VMEM, no HBM score materialization;
-    # f32 accumulation, padding handled via segment ids). Config knob
-    # model.text_encoder.attention_impl.
-    attention_impl: str = "xla"
+    # Attention implementation (config knob model.text_encoder.attention_impl):
+    #   "auto"  — fused short-seq Pallas kernel (ops/fused_attention.py:
+    #             whole sequence in VMEM, f32 softmax, scores never hit HBM;
+    #             measured 1.10x the einsum path on v5e) when the shape/dtype
+    #             qualifies and dropout is off, else the exact XLA path.
+    #   "xla"   — einsum + f32 softmax, always.
+    #   "fused" — force the fused kernel (errors on unsupported shapes).
+    #   "flash" — generic Pallas TPU flash-attention kernel (tiled online
+    #             softmax; measured SLOWER than XLA at seq<=512 here, kept
+    #             for long-sequence configs).
+    attention_impl: str = "auto"
 
     @classmethod
     def tiny(cls) -> "BertConfig":
@@ -69,6 +75,28 @@ class BertSelfAttention(nn.Module):
 
         def split(x):
             return x.reshape(*x.shape[:-1], c.num_attention_heads, head_dim)
+
+        dropout_off = deterministic or c.attention_dropout == 0.0
+        use_fused = (
+            c.attention_impl in ("auto", "fused")
+            and dropout_off
+            and jax.default_backend() == "tpu"  # Mosaic kernel; CPU meshes use XLA
+        )
+        if use_fused:
+            from ..ops.fused_attention import fused_attention, supports
+
+            if supports(self.dtype, hidden.shape[1], c.hidden_size, c.num_attention_heads):
+                # attn_bias is (B, 1, 1, L) additive f32 — the kernel wants (B, L)
+                bias2d = attn_bias.reshape(hidden.shape[0], hidden.shape[1])
+                ctx = fused_attention(
+                    q, k, v, bias2d, c.num_attention_heads, float(head_dim) ** -0.5
+                )
+                return ctx
+            if c.attention_impl == "fused":
+                raise ValueError(
+                    "attention_impl='fused' but shape/dtype unsupported: "
+                    f"dtype={self.dtype}, L={hidden.shape[1]}, H={c.num_attention_heads}"
+                )
 
         q, k, v = split(q), split(k), split(v)
         use_flash = (
@@ -134,7 +162,12 @@ class BertLayer(nn.Module):
         hidden = ln("attention_layernorm")(hidden + attn_out)
 
         inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(hidden)
-        inter = nn.gelu(inter, approximate=c.fast_math)
+        if c.fast_math:
+            inter = nn.gelu(inter, approximate=True)
+        else:
+            from ..ops.gelu import exact_gelu  # erf-GELU; poly-tanh form on bf16
+
+            inter = exact_gelu(inter)
         out = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(inter)
         out = nn.Dropout(c.hidden_dropout)(out, deterministic=deterministic)
         return ln("output_layernorm")(hidden + out)

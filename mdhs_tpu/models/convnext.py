@@ -16,6 +16,7 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from ..ops.gelu import exact_gelu
 
 CONVNEXT_SPECS = {
     "tiny": (( 3, 3, 9, 3), (96, 192, 384, 768)),
@@ -42,7 +43,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = exact_gelu(h)  # erf-GELU (poly-tanh form on bf16, ops/gelu.py)
         h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 
 from ..modules.mamba import _a_log_init, _dt_bias_init
 from ..ops.selective_scan import selective_scan
+from ..ops.gelu import exact_gelu
 
 
 def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
@@ -210,7 +211,7 @@ class Block(nn.Module):
         x = x + gamma("gamma_1") * h
         h = ln("norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_up")(h)
-        h = nn.gelu(h, approximate=False)  # timm Mlp default: exact GELU
+        h = exact_gelu(h)  # timm Mlp default: exact (erf) GELU
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_down")(h)
         return x + gamma("gamma_2") * h
 

@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..core.registry import FUSIONS
+from ..ops.gelu import exact_gelu
 from .attention import MultiHeadAttention
 from .mamba import MambaBlock, VMambaBlock
 
@@ -78,7 +79,7 @@ class BasicTransformerBlock(nn.Module):
 
         h = ln("norm3")(x)
         h = nn.Dense(self.dim * 4, dtype=self.dtype, name="ff_up")(h)
-        h = nn.gelu(h, approximate=False)
+        h = exact_gelu(h)  # erf-GELU (poly-tanh form on bf16, ops/gelu.py)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.dim, dtype=self.dtype, name="ff_down")(h)
         return x + h

@@ -99,7 +99,7 @@ def test_bert_flash_attention_parity():
 
     cfg = dataclasses.replace(
         BertConfig.tiny(), num_attention_heads=1, hidden_size=128,
-        intermediate_size=256,
+        intermediate_size=256, attention_impl="xla",  # pin: default "auto" would pick the fused kernel here
     )
     ids = jax.random.randint(KEY, (2, 128), 0, cfg.vocab_size)
     mask = jnp.concatenate(

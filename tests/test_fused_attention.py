@@ -1,0 +1,126 @@
+"""Tests for ops/fused_attention.py and ops/gelu.py (exact-mode fast paths).
+
+The fused attention kernel and the poly-tanh erf-GELU are the default
+bf16 eval paths (BertConfig.attention_impl="auto"), so their numerics
+must match the exact XLA implementations to bf16 rounding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdhs_tpu.ops.fused_attention import attention_reference, fused_attention, supports
+from mdhs_tpu.ops.gelu import exact_gelu, gelu_exact_fast
+
+B, L, H, D = 4, 128, 12, 64
+HD = H * D
+SCALE = float(D) ** -0.5
+
+
+def _qkvb(seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, L, HD)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, L, HD)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, L, HD)), jnp.bfloat16)
+    mask = np.ones((B, L), np.float32)
+    mask[:, 100:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * -1e9, jnp.float32)
+    return q, k, v, bias
+
+
+def test_fused_attention_matches_reference():
+    q, k, v, bias = _qkvb()
+    ref = attention_reference(q, k, v, bias, H, SCALE).astype(jnp.float32)
+    out = jax.jit(lambda *a: fused_attention(*a, H, SCALE))(q, k, v, bias).astype(jnp.float32)
+    # identical math modulo reassociation: a couple of bf16 ulps at |x|~1
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2, rtol=0)
+    # agreement should be tight on average, not just within the atol bound
+    assert float(jnp.abs(out - ref).mean()) < 2e-3
+
+
+def test_fused_attention_grad_works():
+    q, k, v, bias = _qkvb(1)
+
+    def loss(q):
+        return fused_attention(q, k, v, bias, H, SCALE).astype(jnp.float32).sum()
+
+    def loss_ref(q):
+        return attention_reference(q, k, v, bias, H, SCALE).astype(jnp.float32).sum()
+
+    g = jax.jit(jax.grad(loss))(q).astype(jnp.float32)
+    g_ref = jax.jit(jax.grad(loss_ref))(q).astype(jnp.float32)
+    # backward is literally the reference VJP — must agree to bf16 rounding
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=3e-2, rtol=0)
+
+
+def test_supports_gate():
+    assert supports(jnp.bfloat16, 128, 768, 12)
+    assert supports(jnp.bfloat16, 512, 768, 12)
+    assert not supports(jnp.float32, 128, 768, 12)  # f32 parity path -> XLA
+    assert not supports(jnp.bfloat16, 100, 768, 12)  # unaligned seq
+    assert not supports(jnp.bfloat16, 1024, 768, 12)  # too long for VMEM plan
+    assert not supports(jnp.bfloat16, 128, 64, 4)  # tiny test config -> XLA
+
+
+def test_bert_auto_impl_matches_xla():
+    from mdhs_tpu.models.bert import BertConfig, BertModel
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 30000, (B, L), np.int32))
+    mask = np.ones((B, L), np.int32)
+    mask[:, 100:] = 0
+    mask = jnp.asarray(mask)
+
+    m_x = BertModel(BertConfig(attention_impl="xla"), dtype=jnp.bfloat16)
+    var = jax.jit(lambda: m_x.init(jax.random.PRNGKey(0), ids[:2], mask[:2]))()
+    out_x = jax.jit(lambda v, i, am: m_x.apply(v, i, am)[0])(var, ids, mask)
+
+    m_a = BertModel(BertConfig(attention_impl="auto"), dtype=jnp.bfloat16)
+    out_a = jax.jit(lambda v, i, am: m_a.apply(v, i, am)[0])(var, ids, mask)
+
+    # 12 layers of accumulated bf16-rounding-level differences
+    np.testing.assert_allclose(
+        np.asarray(out_a.astype(jnp.float32)),
+        np.asarray(out_x.astype(jnp.float32)),
+        atol=0.15,
+        rtol=0,
+    )
+    d = jnp.abs(out_a.astype(jnp.float32) - out_x.astype(jnp.float32))
+    assert float(d.mean()) < 0.01
+
+
+def test_gelu_poly_accuracy_f32():
+    # Fit error is 3.3e-6 vs a float64 oracle; the device tanh approximation
+    # widens this to ~6e-5 vs the device's own erf path (measured on v5e).
+    x = jnp.asarray(np.linspace(-10, 10, 100001), jnp.float32)
+    ref = jax.nn.gelu(x, approximate=False)
+    out = gelu_exact_fast(x)
+    assert float(jnp.max(jnp.abs(out - ref))) < 2e-4
+
+
+def test_gelu_poly_bf16_rounding_equivalence():
+    # On bf16 inputs/outputs the poly form must agree with erf-GELU to at
+    # most ONE bf16 ulp (one extra rounding step), mostly bit-equal.
+    rng = np.random.default_rng(0)
+    x32 = rng.standard_normal(200000).astype(np.float32) * 3.0
+    xb = jnp.asarray(x32, jnp.bfloat16)
+    a = np.asarray(exact_gelu(xb).astype(jnp.float32))
+    b = np.asarray(jax.nn.gelu(xb.astype(jnp.float32), approximate=False).astype(jnp.bfloat16).astype(jnp.float32))
+    bit_equal = (a == b).mean()
+    assert bit_equal > 0.8, f"bit-equal fraction {bit_equal}"
+    # every mismatch is either a single-ulp rounding flip, or sits in the
+    # negative tail where |gelu| is absolutely tiny (< 1e-4)
+    mism = a != b
+    if mism.any():
+        rel = np.abs(a[mism] - b[mism]) / np.maximum(np.abs(a[mism]), np.abs(b[mism]))
+        # bf16 has 7 mantissa bits: one ulp is up to 2^-7 relative
+        one_ulp = rel <= 2.0 ** -6.9
+        tiny = np.abs(a[mism] - b[mism]) < 1e-4
+        assert np.all(one_ulp | tiny), float(rel[~tiny].max())
+
+
+def test_exact_gelu_routes_f32_to_xla():
+    x = jnp.asarray(np.linspace(-3, 3, 1000), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(exact_gelu(x)), np.asarray(jax.nn.gelu(x, approximate=False))
+    )
