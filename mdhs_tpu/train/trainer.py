@@ -70,7 +70,7 @@ class TrainState:
 def bert_config_from(cfg: Config, vocab_size: int) -> BertConfig:
     preset = cfg.get("model.text_encoder.preset", "base")
     fast = bool(cfg.get("model.fast_math", False))
-    impl = cfg.get("model.text_encoder.attention_impl", "xla")
+    impl = cfg.get("model.text_encoder.attention_impl", "auto")
     if preset == "tiny":
         base = BertConfig.tiny()
         return dataclasses.replace(
