@@ -43,34 +43,50 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_attention", "attention_reference", "supports"]
 
 
+def _head_group_size(num_heads: int, seq_len: int) -> int:
+    """Heads per softmax batch, sized so the f32 scores scratch stays ~<=4MB
+    (whole-heads scratch at L=512/H=12 would need 12.6MB f32 + 6.3MB bf16 —
+    past the 16MB VMEM budget once in/out blocks are double-buffered)."""
+    budget_rows = max(seq_len, (4 * 1024 * 1024) // (4 * seq_len))
+    g = max(1, budget_rows // seq_len)
+    return min(num_heads, g)
+
+
 def _kernel(
     q_ref, k_ref, v_ref, bias_ref, out_ref, scores_ref, probs_ref, *, num_heads: int, sm_scale: float
 ):
-    """One batch row per grid step; blocks are (1, L, H*D), bias (1, 1, L)."""
+    """One batch row per grid step; blocks are (1, L, H*D), bias (1, 1, L).
+
+    Heads are processed in groups of G: each group's QK^T matmuls land in a
+    shared (G*L, L) f32 scratch, the softmax runs as one batched VPU pass
+    per group (better utilization than per-head passes), then G PV matmuls.
+    """
     L = q_ref.shape[1]
     head_dim = q_ref.shape[2] // num_heads
-    for h in range(num_heads):
-        lo = h * head_dim
-        scores_ref[h * L : (h + 1) * L, :] = jax.lax.dot_general(
-            q_ref[0, :, lo : lo + head_dim],
-            k_ref[0, :, lo : lo + head_dim],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    # One batched softmax over all heads' scores (better VPU utilization
-    # than 12 separate (L, L) passes). bias broadcasts over the H*L rows.
-    s = scores_ref[:] * sm_scale + bias_ref[0, 0:1, :]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    probs_ref[:] = (p * pl.reciprocal(denom, approx=False)).astype(probs_ref.dtype)
-    for h in range(num_heads):
-        lo = h * head_dim
-        out_ref[0, :, lo : lo + head_dim] = jnp.dot(
-            probs_ref[h * L : (h + 1) * L, :],
-            v_ref[0, :, lo : lo + head_dim],
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+    G = _head_group_size(num_heads, L)
+    for g0 in range(0, num_heads, G):
+        heads = range(g0, min(g0 + G, num_heads))
+        for i, h in enumerate(heads):
+            lo = h * head_dim
+            scores_ref[i * L : (i + 1) * L, :] = jax.lax.dot_general(
+                q_ref[0, :, lo : lo + head_dim],
+                k_ref[0, :, lo : lo + head_dim],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        n = len(heads) * L
+        s = scores_ref[0:n, :] * sm_scale + bias_ref[0, 0:1, :]  # bias broadcasts over rows
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        probs_ref[0:n, :] = (p * pl.reciprocal(denom, approx=False)).astype(probs_ref.dtype)
+        for i, h in enumerate(heads):
+            lo = h * head_dim
+            out_ref[0, :, lo : lo + head_dim] = jnp.dot(
+                probs_ref[i * L : (i + 1) * L, :],
+                v_ref[0, :, lo : lo + head_dim],
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
 
 
 def _fused_attention_impl(q, k, v, bias, num_heads: int, sm_scale: float):
@@ -91,8 +107,8 @@ def _fused_attention_impl(q, k, v, bias, num_heads: int, sm_scale: float):
             out_specs=row_spec,
             out_shape=jax.ShapeDtypeStruct((B, L, HD), q.dtype),
             scratch_shapes=[
-                pltpu.VMEM((num_heads * L, L), jnp.float32),
-                pltpu.VMEM((num_heads * L, L), q.dtype),
+                pltpu.VMEM((_head_group_size(num_heads, L) * L, L), jnp.float32),
+                pltpu.VMEM((_head_group_size(num_heads, L) * L, L), q.dtype),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * 2 * B * num_heads * L * L * head_dim,

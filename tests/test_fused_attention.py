@@ -29,8 +29,17 @@ def _qkvb(seed=0):
     return q, k, v, bias
 
 
-def test_fused_attention_matches_reference():
-    q, k, v, bias = _qkvb()
+@pytest.mark.parametrize("seq_len", [128, 256, 512])
+def test_fused_attention_matches_reference(seq_len):
+    # 512 exercises the head-grouped scratch path (whole-heads scratch
+    # would blow the VMEM budget); ConNexT tokenizes at 512.
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, seq_len, HD)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((2, seq_len, HD)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((2, seq_len, HD)), jnp.bfloat16)
+    mask = np.ones((2, seq_len), np.float32)
+    mask[:, seq_len - 28 :] = 0.0
+    bias = jnp.asarray((1.0 - mask) * -1e9, jnp.float32)
     ref = attention_reference(q, k, v, bias, H, SCALE).astype(jnp.float32)
     out = jax.jit(lambda *a: fused_attention(*a, H, SCALE))(q, k, v, bias).astype(jnp.float32)
     # identical math modulo reassociation: a couple of bf16 ulps at |x|~1
