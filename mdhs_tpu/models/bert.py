@@ -60,14 +60,55 @@ class BertConfig:
         )
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-identical params (kernel/bias) without computing.
+
+    Used by the fused attention-sublayer path to hand raw weights to the
+    Pallas kernel while keeping the exact HF-compatible parameter tree
+    (same names, shapes, inits as nn.Dense) — checkpoints are
+    interchangeable between attention_impl modes.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    """nn.LayerNorm-identical params (scale/bias) without computing."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones_init(), (features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (features,))
+        return scale, bias
+
+
 class BertSelfAttention(nn.Module):
     cfg: BertConfig
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, hidden, attn_bias, deterministic: bool, attention_mask=None):
+    def __call__(
+        self, hidden, attn_bias, deterministic: bool, attention_mask=None,
+        qkv_params_only: bool = False,
+    ):
         c = self.cfg
         head_dim = c.hidden_size // c.num_attention_heads
+        if qkv_params_only:
+            # Fused-sublayer path (BertLayer): return raw projection weights
+            # for ops/attention_block.py. Same param tree as the nn.Dense
+            # modules below — only one branch exists per trace.
+            return tuple(
+                _DenseParams(c.hidden_size, name=n)(c.hidden_size)
+                for n in ("query", "key", "value")
+            )
         dense = lambda name: nn.Dense(c.hidden_size, dtype=self.dtype, name=name)
         q = dense("query")(hidden)
         k = dense("key")(hidden)
@@ -154,12 +195,43 @@ class BertLayer(nn.Module):
     def __call__(self, hidden, attn_bias, deterministic: bool, attention_mask=None):
         c = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name=name)
-        attn_out = BertSelfAttention(c, dtype=self.dtype, name="attention")(
-            hidden, attn_bias, deterministic, attention_mask=attention_mask
+        head_dim = c.hidden_size // c.num_attention_heads
+        dropout_off = deterministic or (
+            c.attention_dropout == 0.0 and c.hidden_dropout == 0.0
         )
-        attn_out = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output")(attn_out)
-        attn_out = nn.Dropout(c.hidden_dropout)(attn_out, deterministic=deterministic)
-        hidden = ln("attention_layernorm")(hidden + attn_out)
+        use_block = False
+        if c.attention_impl in ("auto", "fused") and dropout_off and jax.default_backend() == "tpu":
+            from ..ops import attention_block as _ab
+
+            use_block = _ab.supports(
+                self.dtype, hidden.shape[1], c.hidden_size, c.num_attention_heads
+            )
+        if use_block:
+            # Whole attention sublayer (QKV proj + MHA + out proj + residual
+            # + LayerNorm) as one Pallas kernel, weights VMEM-resident.
+            # 1.43x the XLA composite on v5e (benchmarks/
+            # attention_block_bench.py); same param tree as the module path.
+            (qk, qb), (kk, kb), (vk, vb) = BertSelfAttention(
+                c, dtype=self.dtype, name="attention"
+            )(hidden, attn_bias, deterministic, qkv_params_only=True)
+            ow, ob = _DenseParams(c.hidden_size, name="attention_output")(c.hidden_size)
+            g, b = _LayerNormParams(name="attention_layernorm")(c.hidden_size)
+            dt = self.dtype
+            wqkv = jnp.concatenate([qk, kk, vk], axis=1).astype(dt)
+            bqkv = jnp.concatenate([qb, kb, vb]).astype(dt)
+            bias2d = attn_bias.reshape(hidden.shape[0], hidden.shape[1])
+            hidden = _ab.attention_block(
+                hidden, wqkv, bqkv, ow.astype(dt), ob.astype(dt),
+                g.astype(dt), b.astype(dt), bias2d,
+                c.num_attention_heads, float(head_dim) ** -0.5, c.layer_norm_eps,
+            )
+        else:
+            attn_out = BertSelfAttention(c, dtype=self.dtype, name="attention")(
+                hidden, attn_bias, deterministic, attention_mask=attention_mask
+            )
+            attn_out = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output")(attn_out)
+            attn_out = nn.Dropout(c.hidden_dropout)(attn_out, deterministic=deterministic)
+            hidden = ln("attention_layernorm")(hidden + attn_out)
 
         inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(hidden)
         if c.fast_math:
