@@ -233,6 +233,26 @@ class BertLayer(nn.Module):
             attn_out = nn.Dropout(c.hidden_dropout)(attn_out, deterministic=deterministic)
             hidden = ln("attention_layernorm")(hidden + attn_out)
 
+        use_ffn_block = False
+        if use_block and not c.fast_math:
+            from ..ops import ffn_block as _fb
+
+            B, L, Hd = hidden.shape
+            use_ffn_block = _fb.supports(self.dtype, B * L, Hd, c.intermediate_size)
+        if use_ffn_block:
+            # Whole FFN sublayer as one kernel: the (B,L,4H) intermediate
+            # never leaves VMEM (ops/ffn_block.py). fast_math keeps the XLA
+            # path (its tanh-GELU is a deliberately different function).
+            w1, b1 = _DenseParams(c.intermediate_size, name="intermediate")(c.hidden_size)
+            w2, b2 = _DenseParams(c.hidden_size, name="output")(c.intermediate_size)
+            g2, be2 = _LayerNormParams(name="output_layernorm")(c.hidden_size)
+            dt = self.dtype
+            out2d = _fb.ffn_block(
+                hidden.reshape(B * L, Hd), w1.astype(dt), b1.astype(dt),
+                w2.astype(dt), b2.astype(dt), g2.astype(dt), be2.astype(dt),
+                c.layer_norm_eps,
+            )
+            return out2d.reshape(B, L, Hd)
         inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(hidden)
         if c.fast_math:
             inter = nn.gelu(inter, approximate=True)

@@ -98,6 +98,60 @@ def test_bert_auto_impl_matches_xla():
     assert float(d.mean()) < 0.01
 
 
+def test_attention_block_matches_reference():
+    from mdhs_tpu.ops.attention_block import attention_block, attention_block_reference
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, L, HD)), jnp.bfloat16)
+    wqkv = jnp.asarray(rng.standard_normal((HD, 3 * HD)) * 0.03, jnp.bfloat16)
+    bqkv = jnp.asarray(rng.standard_normal(3 * HD) * 0.01, jnp.bfloat16)
+    wo = jnp.asarray(rng.standard_normal((HD, HD)) * 0.03, jnp.bfloat16)
+    bo = jnp.asarray(rng.standard_normal(HD) * 0.01, jnp.bfloat16)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(HD), jnp.bfloat16)
+    beta = jnp.asarray(0.1 * rng.standard_normal(HD), jnp.bfloat16)
+    mask = np.ones((4, L), np.float32)
+    mask[:, 100:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * -1e9, jnp.float32)
+    args = (x, wqkv, bqkv, wo, bo, gamma, beta, bias)
+    ref = attention_block_reference(*args, H, SCALE, 1e-12).astype(jnp.float32)
+    out = jax.jit(lambda *a: attention_block(*a, H, SCALE, 1e-12))(*args).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=6e-2, rtol=0)
+    assert float(jnp.abs(out - ref).mean()) < 5e-3
+
+    def loss(x):
+        return attention_block(x, *args[1:], H, SCALE, 1e-12).astype(jnp.float32).sum()
+
+    g = jax.jit(jax.grad(loss))(x)
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+def test_ffn_block_matches_reference():
+    from mdhs_tpu.ops.ffn_block import ffn_block, ffn_block_reference, supports
+
+    assert supports(jnp.bfloat16, 2048, 768, 3072)
+    assert not supports(jnp.bfloat16, 128, 768, 3072)  # batch-1 predict -> XLA
+    rng = np.random.default_rng(0)
+    N, Hd, Di = 1024, 768, 3072
+    x = jnp.asarray(rng.standard_normal((N, Hd)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((Hd, Di)) * 0.03, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal(Di) * 0.01, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((Di, Hd)) * 0.03, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal(Hd) * 0.01, jnp.bfloat16)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(Hd), jnp.bfloat16)
+    beta = jnp.asarray(0.1 * rng.standard_normal(Hd), jnp.bfloat16)
+    args = (x, w1, b1, w2, b2, gamma, beta)
+    ref = ffn_block_reference(*args, 1e-12).astype(jnp.float32)
+    out = jax.jit(lambda *a: ffn_block(*a, 1e-12))(*args).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=6e-2, rtol=0)
+    assert float(jnp.abs(out - ref).mean()) < 5e-3
+
+    def loss(x):
+        return ffn_block(x, *args[1:], 1e-12).astype(jnp.float32).sum()
+
+    g = jax.jit(jax.grad(loss))(x)
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
 def test_gelu_poly_accuracy_f32():
     # Fit error is 3.3e-6 vs a float64 oracle; the device tanh approximation
     # widens this to ~6e-5 vs the device's own erf path (measured on v5e).
