@@ -128,10 +128,10 @@ def main():
     # pipeline, which has no Normalize (reference dataset_spine.py:62-69).
     # The fast_math serving preset (config knob model.fast_math) is reported
     # alongside, not scored.
-    # 256 measured faster than 512 on v5e for this model (HBM pressure from
-    # the per-layer attention workspace grows with batch; 256 keeps the
-    # pipeline in the sweet spot): 4184 vs ~4000 img/s default mode.
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    # With the fused attention/FFN sublayer kernels the per-layer f32 score
+    # workspace no longer hits HBM, so batch 512 beats 256 again (4392 vs
+    # 4315 img/s default mode on v5e).
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     ips = measure_throughput(fast_math=False, batch=batch)
     p50_ms = measure_p50_latency(fast_math=False)
     serving_ips = measure_throughput(fast_math=True, batch=batch)
