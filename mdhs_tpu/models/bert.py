@@ -233,8 +233,16 @@ class BertLayer(nn.Module):
             attn_out = nn.Dropout(c.hidden_dropout)(attn_out, deterministic=deterministic)
             hidden = ln("attention_layernorm")(hidden + attn_out)
 
+        # FFN fusion is gated independently of the attention block (e.g. at
+        # seq 512 the attention block is off for VMEM but the FFN block,
+        # which tiles flat rows, still applies).
         use_ffn_block = False
-        if use_block and not c.fast_math:
+        if (
+            c.attention_impl in ("auto", "fused")
+            and dropout_off
+            and not c.fast_math
+            and jax.default_backend() == "tpu"
+        ):
             from ..ops import ffn_block as _fb
 
             B, L, Hd = hidden.shape

@@ -152,6 +152,25 @@ def test_ffn_block_matches_reference():
     assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
 
 
+def test_bert_auto_impl_matches_xla_seq512():
+    # ConNexT tokenization length: attention block is VMEM-gated off here,
+    # but the standalone fused attention and the FFN block still engage.
+    from mdhs_tpu.models.bert import BertConfig, BertModel
+
+    Lx = 512
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 30000, (2, Lx), np.int32))
+    mask = np.ones((2, Lx), np.int32)
+    mask[:, 480:] = 0
+    mask = jnp.asarray(mask)
+    m_x = BertModel(BertConfig(attention_impl="xla"), dtype=jnp.bfloat16)
+    var = jax.jit(lambda: m_x.init(jax.random.PRNGKey(0), ids, mask))()
+    out_x = jax.jit(lambda v, i, am: m_x.apply(v, i, am)[0])(var, ids, mask)
+    m_a = BertModel(BertConfig(attention_impl="auto"), dtype=jnp.bfloat16)
+    out_a = jax.jit(lambda v, i, am: m_a.apply(v, i, am)[0])(var, ids, mask)
+    d = jnp.abs(out_a.astype(jnp.float32) - out_x.astype(jnp.float32))
+    assert float(d.max()) < 0.2 and float(d.mean()) < 0.01
+
+
 def test_gelu_poly_accuracy_f32():
     # Fit error is 3.3e-6 vs a float64 oracle; the device tanh approximation
     # widens this to ~6e-5 vs the device's own erf path (measured on v5e).
