@@ -3,10 +3,12 @@
 
 Builds a MIBF-family Trainer (ResNet50 + BERT-base, MP-Loss, Adam) on a
 synthetic on-disk dataset at real shapes (canvas 256 -> 224 crop, seq 128),
-then times the jitted train step: K steps are enqueued back-to-back on one
-device-resident batch (async dispatch pipelines the ~30-40ms relay RPC), a
-single host fetch closes the chain. Each step consumes the state returned
-by the previous one, so XLA cannot elide any of them.
+then times K train steps chained inside ONE jitted lax.scan (same
+methodology as bench.py): the state threads through the scan so XLA cannot
+elide any step, and a single hard host fetch closes the chain. Per-call
+dispatch through the relay is pathological for step-shaped payloads
+(donation + per-dispatch overhead measured 1.4-54s/step for a ~210ms
+device-time step), so per-call timing is NOT used.
 
 Diagnostic benchmark; bench.py (eval path) is the scored entry point.
 """
@@ -48,14 +50,21 @@ def main():
                           output_dir=os.path.join(tmp, "run"))
         step = trainer.train_step_fn()
         batch = trainer._device_batch(next(iter(trainer.train_loader)))
+        rng = trainer.rng
 
-        state, metrics = step(trainer.state, batch, trainer.rng)  # compile
-        jax.block_until_ready(metrics["loss"])
+        @jax.jit
+        def chain(state, batch):
+            def body(state, _):
+                new_state, metrics = step(state, batch, rng)
+                return new_state, metrics["loss"]
 
+            return jax.lax.scan(body, state, None, length=K)
+
+        state, losses = chain(trainer.state, batch)  # compile + warmup
+        np.asarray(losses)
         t0 = time.perf_counter()
-        for _ in range(K):
-            state, metrics = step(state, batch, trainer.rng)
-        loss = float(metrics["loss"])  # hard fetch closes the chain
+        state, losses = chain(state, batch)
+        loss = float(np.asarray(losses)[-1])  # hard fetch closes the chain
         elapsed = time.perf_counter() - t0
 
         ips = K * BATCH / elapsed

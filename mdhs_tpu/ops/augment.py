@@ -61,6 +61,125 @@ def affine_sample(images: jnp.ndarray, matrices: jnp.ndarray, out_size: int) -> 
 
 
 # ---------------------------------------------------------------------------
+# Fast two-stage geometric path (separable resample + 3-shear rotation)
+# ---------------------------------------------------------------------------
+#
+# The one-affine gather above is the geometrically-purest formulation, but
+# XLA:TPU lowers per-pixel gathers catastrophically (~990 ms for a
+# 128x256^2 batch — measured, benchmarks/warp notes in git history). The
+# production path instead does:
+#
+#   1. crop + flip + scale as TWO batched matmuls with per-image (O, S)
+#      tent-interpolation matrices (separable — 4 ms for the same batch);
+#   2. rotation as THREE shears (Paeth/Catmull-Smith: Shx(a)·Shy(b)·Shx(a),
+#      a=-tan(th/2), b=sin(th)), each shear a per-row wide dynamic-slice +
+#      lerp in W-minor layout (~157 ms — slices are full rows, so the
+#      gather is DMA-shaped).
+#
+# This also matches torchvision semantics MORE closely than the composed
+# warp: the reference rotates the already-cropped-and-resized image with
+# zero fill (RandomResizedCrop then RandomRotation, data_loader.py:343-360),
+# which is exactly what stage 2 does.
+
+
+def _tent_matrix(pos: jnp.ndarray, size: int) -> jnp.ndarray:
+    """pos: (O,) float source positions -> (O, size) bilinear weights."""
+    p0 = jnp.floor(pos)
+    f = pos - p0
+    base = jnp.arange(size, dtype=jnp.float32)[None, :]
+    w0 = jnp.where(base == jnp.clip(p0, 0, size - 1)[:, None], (1.0 - f)[:, None], 0.0)
+    w1 = jnp.where(base == jnp.clip(p0 + 1, 0, size - 1)[:, None], f[:, None], 0.0)
+    return w0 + w1
+
+
+def _shear_w(img: jnp.ndarray, a: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """img: (C, H, W); shift row r by a*(r - center) along W, bilinear,
+    zero fill. pad must be a static bound on |shift|."""
+    H, W = img.shape[1], img.shape[2]
+    d = a * (jnp.arange(H, dtype=jnp.float32) - (H - 1) / 2.0)
+    d0 = jnp.floor(d)
+    f = (d - d0)[None, :, None]
+    padded = jnp.pad(img, ((0, 0), (0, 0), (pad, pad)))
+    start = jnp.clip(pad + d0.astype(jnp.int32), 0, 2 * pad - 1)
+
+    def row_slice(row, s):
+        return jax.lax.dynamic_slice(row, (s,), (W + 1,))
+
+    sl = jax.vmap(lambda ch: jax.vmap(row_slice)(ch, start))(padded)  # (C, H, W+1)
+    return (1.0 - f) * sl[..., :W] + f * sl[..., 1:]
+
+
+def rotate_3shear(images: jnp.ndarray, angles: jnp.ndarray, max_degrees: float) -> jnp.ndarray:
+    """images: (B, H, W, C); angles: (B,) radians. Rotation about the image
+    center with bilinear-per-shear interpolation and zero fill."""
+    O = images.shape[1]
+    pad_x = int(math.ceil(math.tan(math.radians(max_degrees) / 2.0) * O / 2.0)) + 2
+    pad_y = int(math.ceil(math.sin(math.radians(max_degrees)) * O / 2.0)) + 2
+
+    def one(img, ang):
+        # sign convention calibrated against the gather warp: exact (0 err)
+        # on linear ramps with a=+tan(ang/2), b=-sin(ang) in coordinate-map
+        # form (out[r,c] = in[r, c + d(r)])
+        a = jnp.tan(ang / 2.0)
+        b = -jnp.sin(ang)
+        t = jnp.transpose(img, (2, 0, 1))  # (C, H, W): W minor for wide slices
+        t = _shear_w(t, a, pad_x)
+        t = jnp.swapaxes(t, 1, 2)
+        t = _shear_w(t, b, pad_y)
+        t = jnp.swapaxes(t, 1, 2)
+        t = _shear_w(t, a, pad_x)
+        return jnp.transpose(t, (1, 2, 0))
+
+    return jax.vmap(one)(images, angles)
+
+
+def random_crop_flip_rotate(
+    key,
+    images: jnp.ndarray,
+    out_size: int,
+    *,
+    scale_range=(0.2, 1.0),
+    ratio_range=(3.0 / 4.0, 4.0 / 3.0),
+    hflip: bool = True,
+    vflip: bool = True,
+    degrees: float = 45.0,
+) -> jnp.ndarray:
+    """Fast path: RandomResizedCrop + flips (separable matmuls) then
+    RandomRotation (3 shears). images: (B, S, S, C) float in [0, 1]."""
+    B, S = images.shape[0], images.shape[1]
+    keys = jax.random.split(key, B)
+
+    def params(k):
+        k_area, k_ratio, k_hf, k_vf, k_ang, k_x, k_y = jax.random.split(k, 7)
+        area = S * S * jax.random.uniform(k_area, (), minval=scale_range[0], maxval=scale_range[1])
+        log_r = jax.random.uniform(
+            k_ratio, (), minval=math.log(ratio_range[0]), maxval=math.log(ratio_range[1])
+        )
+        ratio = jnp.exp(log_r)
+        w = jnp.clip(jnp.sqrt(area * ratio), 8.0, S)
+        h = jnp.clip(jnp.sqrt(area / ratio), 8.0, S)
+        y0 = jax.random.uniform(k_y, ()) * (S - h)
+        x0 = jax.random.uniform(k_x, ()) * (S - w)
+        do_h = jax.random.bernoulli(k_hf) & hflip
+        do_v = jax.random.bernoulli(k_vf) & vflip
+        ang = jax.random.uniform(k_ang, (), minval=-degrees, maxval=degrees) * math.pi / 180.0
+
+        idx = jnp.arange(out_size, dtype=jnp.float32)
+        ridx = jnp.where(do_v, out_size - 1.0 - idx, idx)
+        cidx = jnp.where(do_h, out_size - 1.0 - idx, idx)
+        rows = y0 + h / out_size * ridx
+        cols = x0 + w / out_size * cidx
+        return _tent_matrix(rows, S), _tent_matrix(cols, S), ang
+
+    Rm, Cm, angs = jax.vmap(params)(keys)
+    x = jnp.einsum("bos,bshc->bohc", Rm, images)
+    x = jnp.einsum("bow,bhwc->bhoc", Cm, x)
+    if degrees > 0.0:
+        x = rotate_3shear(x, angs, degrees)
+    return x
+
+
+# ---------------------------------------------------------------------------
 # Random affine parameter sampling (composed crop+flip+rotate)
 # ---------------------------------------------------------------------------
 
@@ -204,13 +323,9 @@ def train_pipeline(key, images_uint8, out_size: int = 224, normalize: bool = Tru
     One fused program: affine gather (crop+flip+rotate) + color jitter +
     normalize, all on device.
     """
-    B, S = images_uint8.shape[0], images_uint8.shape[1]
     k_aff, k_col = jax.random.split(key)
-    mats = jax.vmap(
-        lambda k: random_affine_matrix(k, S, out_size)
-    )(jax.random.split(k_aff, B))
     x = images_uint8.astype(jnp.float32) / 255.0
-    x = affine_sample(x, mats, out_size)
+    x = random_crop_flip_rotate(k_aff, x, out_size)
     if enable_color:
         x = color_jitter(k_col, x)
     if normalize:

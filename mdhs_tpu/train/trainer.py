@@ -378,22 +378,18 @@ class Trainer:
             )
 
         def aug2d(rng, x):
-            from ..ops.augment import affine_sample, color_jitter, random_affine_matrix
+            from ..ops.augment import color_jitter, random_crop_flip_rotate
             from ..ops.preprocess import normalize_imagenet
 
-            B, S = x.shape[0], x.shape[1]
             k_aff, k_col = jax.random.split(rng)
             xf = x.astype(jnp.float32) / 255.0
             if stain is not None:
                 xf = stain_normalize(xf, stain[0], stain[1])
-            mats = jax.vmap(
-                lambda k: random_affine_matrix(
-                    k, S, self.image_size,
-                    degrees=self.aug_kwargs["degrees"],
-                    vflip=self.aug_kwargs["vflip"],
-                )
-            )(jax.random.split(k_aff, B))
-            xf = affine_sample(xf, mats, self.image_size)
+            xf = random_crop_flip_rotate(
+                k_aff, xf, self.image_size,
+                degrees=self.aug_kwargs["degrees"],
+                vflip=self.aug_kwargs["vflip"],
+            )
             if self.color_jitter:
                 xf = color_jitter(k_col, xf)
             if self.normalize:

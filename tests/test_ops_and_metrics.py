@@ -35,6 +35,66 @@ def test_train_pipeline_shapes_and_range():
     assert np.abs(o - np.asarray(out2, np.float32)).max() > 1e-3
 
 
+def test_rotate_3shear_matches_gather_rotation():
+    """The fast 3-shear rotation must agree with a direct bilinear-gather
+    rotation on a smooth image (interior pixels; both interpolate a linear
+    ramp near-exactly, differences are interpolation-order noise)."""
+    from mdhs_tpu.ops.augment import affine_grid, _bilinear_sample, rotate_3shear
+
+    O = 64
+    rr, cc = np.meshgrid(np.arange(O), np.arange(O), indexing="ij")
+    img = np.stack([rr + 0.5 * cc, cc - 0.25 * rr, rr * 0.0 + 3.0], -1).astype(np.float32)
+    img /= img.max()
+    imgs = jnp.asarray(img)[None]
+    ang = 0.22  # radians
+
+    out = np.asarray(rotate_3shear(imgs, jnp.asarray([ang]), max_degrees=45.0))[0]
+
+    half = (O - 1) / 2.0
+    c, s = np.cos(ang), np.sin(ang)
+    m = jnp.asarray(
+        [[c, -s, half - c * half + s * half], [s, c, half - s * half - c * half]],
+        jnp.float32,
+    )
+    coords = affine_grid(m, O, O)
+    ref = np.asarray(_bilinear_sample(imgs[0], coords))
+
+    # compare away from the borders (fill behavior differs at corners)
+    sl = slice(16, 48)
+    d = np.abs(out[sl, sl] - ref[sl, sl])
+    assert d.max() < 0.06, d.max()
+    assert d.mean() < 0.01, d.mean()
+
+
+def test_rotate_3shear_sign_convention():
+    """+angle must rotate content the same direction as the gather path."""
+    from mdhs_tpu.ops.augment import affine_grid, _bilinear_sample, rotate_3shear
+
+    O = 64
+    img = np.zeros((O, O, 1), np.float32)
+    img[28:36, 44:52] = 1.0  # off-center blob
+    imgs = jnp.asarray(img)[None]
+    ang = 0.5
+    out = np.asarray(rotate_3shear(imgs, jnp.asarray([ang]), 45.0))[0, ..., 0]
+
+    half = (O - 1) / 2.0
+    c, s = np.cos(ang), np.sin(ang)
+    m = jnp.asarray(
+        [[c, -s, half - c * half + s * half], [s, c, half - s * half - c * half]],
+        jnp.float32,
+    )
+    ref = np.asarray(_bilinear_sample(imgs[0], affine_grid(m, O, O)))[..., 0]
+    # centroids of the rotated blob must land in the same place
+    def centroid(a):
+        w = a.sum()
+        ii, jj = np.meshgrid(np.arange(O), np.arange(O), indexing="ij")
+        return (ii * a).sum() / w, (jj * a).sum() / w
+
+    ci, cj = centroid(out)
+    ri, rj = centroid(ref)
+    assert abs(ci - ri) < 1.5 and abs(cj - rj) < 1.5, ((ci, cj), (ri, rj))
+
+
 def test_tta_variants_geometry():
     from mdhs_tpu.ops.tta import tta_variants
 
