@@ -240,7 +240,6 @@ class BertLayer(nn.Module):
         if (
             c.attention_impl in ("auto", "fused")
             and dropout_off
-            and not c.fast_math
             and jax.default_backend() == "tpu"
         ):
             from ..ops import ffn_block as _fb
@@ -249,8 +248,8 @@ class BertLayer(nn.Module):
             use_ffn_block = _fb.supports(self.dtype, B * L, Hd, c.intermediate_size)
         if use_ffn_block:
             # Whole FFN sublayer as one kernel: the (B,L,4H) intermediate
-            # never leaves VMEM (ops/ffn_block.py). fast_math keeps the XLA
-            # path (its tanh-GELU is a deliberately different function).
+            # never leaves VMEM (ops/ffn_block.py). fast_math keeps its
+            # tanh-GELU semantics via the kernel's act parameter.
             w1, b1 = _DenseParams(c.intermediate_size, name="intermediate")(c.hidden_size)
             w2, b2 = _DenseParams(c.hidden_size, name="output")(c.intermediate_size)
             g2, be2 = _LayerNormParams(name="output_layernorm")(c.hidden_size)
@@ -258,7 +257,7 @@ class BertLayer(nn.Module):
             out2d = _fb.ffn_block(
                 hidden.reshape(B * L, Hd), w1.astype(dt), b1.astype(dt),
                 w2.astype(dt), b2.astype(dt), g2.astype(dt), be2.astype(dt),
-                c.layer_norm_eps,
+                c.layer_norm_eps, "tanh" if c.fast_math else "erf",
             )
             return out2d.reshape(B, L, Hd)
         inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(hidden)

@@ -42,13 +42,22 @@ def _gelu_poly_f32(x):
     return jnp.float32(0.5) * x * (jnp.float32(1.0) + jnp.tanh(x * p))
 
 
+def _gelu_tanh_f32(x):
+    """tanh-approximate GELU (the fast_math serving preset's function)."""
+    c0 = jnp.float32(0.7978845608028654)  # sqrt(2/pi)
+    c1 = jnp.float32(0.044715)
+    inner = c0 * (x + c1 * x * x * x)
+    return jnp.float32(0.5) * x * (jnp.float32(1.0) + jnp.tanh(inner))
+
+
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref, beta_ref,
-            out_ref, inter_ref, *, ln_eps: float):
+            out_ref, inter_ref, *, ln_eps: float, act: str):
     x = x_ref[:]  # (R, H) bf16
     h = jax.lax.dot_general(
         x, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    h = _gelu_poly_f32(h + b1_ref[0:1, :])
+    h = h + b1_ref[0:1, :]
+    h = _gelu_tanh_f32(h) if act == "tanh" else _gelu_poly_f32(h)
     inter_ref[:] = h.astype(inter_ref.dtype)
     h2 = jax.lax.dot_general(
         inter_ref[:], w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -61,10 +70,10 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref, beta_ref,
     out_ref[:] = (norm * gamma_ref[0:1, :] + beta_ref[0:1, :]).astype(out_ref.dtype)
 
 
-def _impl(x2d, w1, b1, w2, b2, gamma, beta, ln_eps):
+def _impl(x2d, w1, b1, w2, b2, gamma, beta, ln_eps, act):
     N, H = x2d.shape
     Di = w1.shape[1]
-    kernel = functools.partial(_kernel, ln_eps=ln_eps)
+    kernel = functools.partial(_kernel, ln_eps=ln_eps, act=act)
     row_spec = pl.BlockSpec((_ROWS, H), lambda r: (r, 0), memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda r: (0,) * len(shape), memory_space=pltpu.VMEM)
     with jax.default_matmul_precision("default"):
@@ -92,10 +101,10 @@ def _impl(x2d, w1, b1, w2, b2, gamma, beta, ln_eps):
           gamma.reshape(1, H), beta.reshape(1, H))
 
 
-def ffn_block_reference(x2d, w1, b1, w2, b2, gamma, beta, ln_eps):
-    """XLA reference (same math; erf-GELU in f32 on the pre-activation)."""
+def ffn_block_reference(x2d, w1, b1, w2, b2, gamma, beta, ln_eps, act="erf"):
+    """XLA reference (same math; GELU in f32 on the pre-activation)."""
     h = (jnp.dot(x2d, w1) + b1).astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=False).astype(x2d.dtype)
+    h = jax.nn.gelu(h, approximate=(act == "tanh")).astype(x2d.dtype)
     y = (x2d + (jnp.dot(h, w2) + b2)).astype(jnp.float32)
     mu = jnp.mean(y, axis=-1, keepdims=True)
     yc = y - mu
@@ -104,19 +113,20 @@ def ffn_block_reference(x2d, w1, b1, w2, b2, gamma, beta, ln_eps):
     return (norm * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x2d.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def ffn_block(x2d, w1, b1, w2, b2, gamma, beta, ln_eps: float):
-    """Fused FFN sublayer on (N, H) rows. See module docstring."""
-    return _impl(x2d, w1, b1, w2, b2, gamma, beta, ln_eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def ffn_block(x2d, w1, b1, w2, b2, gamma, beta, ln_eps: float, act: str = "erf"):
+    """Fused FFN sublayer on (N, H) rows. act: "erf" (poly-tanh exact form)
+    or "tanh" (fast_math serving preset). See module docstring."""
+    return _impl(x2d, w1, b1, w2, b2, gamma, beta, ln_eps, act)
 
 
-def _fwd(x2d, w1, b1, w2, b2, gamma, beta, ln_eps):
-    return _impl(x2d, w1, b1, w2, b2, gamma, beta, ln_eps), (x2d, w1, b1, w2, b2, gamma, beta)
+def _fwd(x2d, w1, b1, w2, b2, gamma, beta, ln_eps, act):
+    return _impl(x2d, w1, b1, w2, b2, gamma, beta, ln_eps, act), (x2d, w1, b1, w2, b2, gamma, beta)
 
 
-def _bwd(ln_eps, res, g):
+def _bwd(ln_eps, act, res, g):
     x2d, w1, b1, w2, b2, gamma, beta = res
-    _, vjp = jax.vjp(lambda *a: ffn_block_reference(*a, ln_eps), x2d, w1, b1, w2, b2, gamma, beta)
+    _, vjp = jax.vjp(lambda *a: ffn_block_reference(*a, ln_eps, act), x2d, w1, b1, w2, b2, gamma, beta)
     return vjp(g)
 
 
