@@ -18,7 +18,8 @@ import argparse
 from ..core.checkpoint import save_checkpoint
 from ..core.convert import (
     convert_bert,
-    convert_convnext_torchvision,
+    convert_connext_full,
+    convert_convnext_any,
     convert_resnet,
     convert_resnet_classifier,
     load_torch_state_dict,
@@ -26,8 +27,10 @@ from ..core.convert import (
 
 
 def convert(kind: str, sd, *, backbone: str = "resnet18", variant: str = "base",
-            num_layers: int = 12, dest: str = ""):
-    """Returns {params, batch_stats} trees nested under `dest` (slash path)."""
+            num_layers: int = 12, dest: str = "", head: str = "linear"):
+    """Returns {params, batch_stats[, kan_state]} trees nested under `dest`
+    (slash path)."""
+    kan_state: dict = {}
     if kind == "resnet":
         params, stats = convert_resnet(sd, backbone)
         params = {"trunk": params}
@@ -41,33 +44,46 @@ def convert(kind: str, sd, *, backbone: str = "resnet18", variant: str = "base",
             params["pooler"] = pooler
         stats = {}
     elif kind == "convnext":
-        params = convert_convnext_torchvision(sd, variant)
+        params = convert_convnext_any(sd, variant)
         stats = {}
+    elif kind == "connext_full":
+        # Lightning Model4AAAI_MoE / OurClassfierConvnextV2 checkpoints
+        # (reference ConNexT/predict.py:53-57)
+        params, stats, kan_state = convert_connext_full(
+            sd, head=head, convnext_variant=variant, num_bert_layers=num_layers
+        )
     else:
         raise ValueError(f"unknown kind: {kind}")
 
     for part in reversed([p for p in dest.split("/") if p]):
         params = {part: params}
         stats = {part: stats} if stats else {}
-    return {"params": params, "batch_stats": stats}
+        kan_state = {part: kan_state} if kan_state else {}
+    out = {"params": params, "batch_stats": stats}
+    if kan_state:
+        out["kan_state"] = kan_state
+    return out
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="torch -> mdhs_tpu weight conversion")
     p.add_argument("--kind", required=True,
-                   choices=["resnet", "resnet_classifier", "bert", "convnext"])
+                   choices=["resnet", "resnet_classifier", "bert", "convnext",
+                            "connext_full"])
     p.add_argument("--input", required=True, help=".pth/.bin/.safetensors file")
     p.add_argument("--output", required=True, help="output .msgpack checkpoint")
     p.add_argument("--backbone", default="resnet18")
     p.add_argument("--variant", default="base")
     p.add_argument("--num_layers", type=int, default=12)
+    p.add_argument("--head", default="linear", choices=["linear", "moe"],
+                   help="connext_full classifier head to map (fc vs MoE bank)")
     p.add_argument("--dest", default="",
                    help="slash-separated subtree to nest under, e.g. "
                         "'image_encoder' or 'text_encoder'")
     args = p.parse_args(argv)
     sd = load_torch_state_dict(args.input)
     state = convert(args.kind, sd, backbone=args.backbone, variant=args.variant,
-                    num_layers=args.num_layers, dest=args.dest)
+                    num_layers=args.num_layers, dest=args.dest, head=args.head)
     save_checkpoint(args.output, state)
     n = len(sd)
     print(f"converted {n} torch tensors -> {args.output}")

@@ -522,6 +522,181 @@ def convert_mamba_vision(sd: Arrays, variant: str = "T"):
 
 
 # ---------------------------------------------------------------------------
+# ConvNeXt (HF naming: embeddings / encoder.stages.N...)
+# ---------------------------------------------------------------------------
+
+def convert_convnext_hf(sd: Arrays, variant: str = "base", prefix: str = ""):
+    """HF `ConvNextModel` (transformers naming) -> mdhs_tpu ConvNeXt params.
+
+    The reference's primary image tower is
+    `ConvNextForImageClassification.from_pretrained(...).convnext`
+    (ConNexT/models/ourmodel.py:41-46) whose state dict uses
+    `embeddings.patch_embeddings` / `embeddings.layernorm` /
+    `encoder.stages.{i}.downsampling_layer.{0,1}` /
+    `encoder.stages.{i}.layers.{j}.{dwconv,layernorm,pwconv1,pwconv2,
+    layer_scale_parameter}`. The final `layernorm` only feeds HF's
+    pooler_output; the reference consumes `last_hidden_state`
+    (ourmodel.py:74), so it is intentionally dropped here.
+    """
+    from ..models.convnext import CONVNEXT_SPECS
+
+    sd = _strip_prefix(sd, prefix)
+    if any(k.startswith("convnext.") for k in sd):
+        sd = _strip_prefix(sd, "convnext.")
+    depths, _dims = CONVNEXT_SPECS[variant]
+    params: dict = {
+        "stem_conv": {
+            "kernel": _conv(sd["embeddings.patch_embeddings.weight"]),
+            "bias": sd["embeddings.patch_embeddings.bias"],
+        },
+        "stem_norm": _ln(sd, "embeddings.layernorm"),
+    }
+    for stage in range(4):
+        base = f"encoder.stages.{stage}"
+        if stage > 0:
+            params[f"ds{stage}_norm"] = _ln(sd, f"{base}.downsampling_layer.0")
+            params[f"ds{stage}_conv"] = {
+                "kernel": _conv(sd[f"{base}.downsampling_layer.1.weight"]),
+                "bias": sd[f"{base}.downsampling_layer.1.bias"],
+            }
+        for b in range(depths[stage]):
+            lb = f"{base}.layers.{b}"
+            params[f"stage{stage}_block{b}"] = {
+                "dwconv": {
+                    "kernel": _conv(sd[f"{lb}.dwconv.weight"]),
+                    "bias": sd[f"{lb}.dwconv.bias"],
+                },
+                "norm": _ln(sd, f"{lb}.layernorm"),
+                "pwconv1": _dense(sd, f"{lb}.pwconv1"),
+                "pwconv2": _dense(sd, f"{lb}.pwconv2"),
+                "gamma": sd[f"{lb}.layer_scale_parameter"].reshape(-1),
+            }
+    return params
+
+
+def convert_convnext_any(sd: Arrays, variant: str = "base", prefix: str = ""):
+    """Autodetect HF vs torchvision ConvNeXt naming and convert."""
+    sd = _strip_prefix(sd, prefix)
+    if any("patch_embeddings" in k or "downsampling_layer" in k for k in sd):
+        return convert_convnext_hf(sd, variant=variant)
+    return convert_convnext_torchvision(sd, variant=variant)
+
+
+def _conv1x1(sd: Arrays, name: str) -> dict:
+    """torch 1x1 Conv2d -> flax nn.Conv params (OIHW -> HWIO)."""
+    return {"kernel": _conv(sd[f"{name}.weight"]), "bias": sd[f"{name}.bias"]}
+
+
+def _convert_kan_bank(sd: Arrays, prefix: str, num_experts: int):
+    """torch `nn.ModuleList` of KAN1 experts (reference moe.py:160 —
+    `experts.{e}.layers.{i}.{base_weight,spline_weight,spline_scaler}` +
+    `grid` buffer, kan1.py:35-48) -> our vmapped expert bank: the same
+    leaves stacked on a leading expert axis (modules/moe.py ExpertBank).
+
+    Returns (params_subtree, kan_state_subtree) for the `experts` module.
+    """
+    n_layers = 0
+    while f"{prefix}0.layers.{n_layers}.base_weight" in sd:
+        n_layers += 1
+    if n_layers == 0:
+        raise KeyError(f"{prefix}0.layers.0.base_weight")
+    params: dict = {}
+    state: dict = {}
+    for i in range(n_layers):
+        layer: dict = {
+            "base_weight": np.stack(
+                [sd[f"{prefix}{e}.layers.{i}.base_weight"] for e in range(num_experts)]
+            ),
+            "spline_weight": np.stack(
+                [sd[f"{prefix}{e}.layers.{i}.spline_weight"] for e in range(num_experts)]
+            ),
+        }
+        if f"{prefix}0.layers.{i}.spline_scaler" in sd:
+            layer["spline_scaler"] = np.stack(
+                [sd[f"{prefix}{e}.layers.{i}.spline_scaler"] for e in range(num_experts)]
+            )
+        params[f"layer_{i}"] = layer
+        if f"{prefix}0.layers.{i}.grid" in sd:
+            state[f"layer_{i}"] = {
+                "grid": np.stack(
+                    [sd[f"{prefix}{e}.layers.{i}.grid"] for e in range(num_experts)]
+                )
+            }
+    return params, state
+
+
+def convert_connext_full(
+    sd: Arrays,
+    head: str = "linear",
+    convnext_variant: str = "base",
+    num_bert_layers: int = 12,
+    moe_num_experts: int = 4,
+):
+    """Complete ConNexT checkpoint -> (params, batch_stats, kan_state) for
+    mdhs_tpu.models.connext.ConNexTClassifier.
+
+    Accepts three key layouts:
+    - Lightning `Model4AAAI_MoE` dicts (reference predict.py:53-57): keys
+      under `net.net.*` (Model4AAAI_MoE.net = BaseLineConvNeXt_KAN_mamba,
+      whose .net = OurClassfierConvnextV2, pl_model_MOE2.py:59-77,111);
+      the `state_dict` wrapper is already unwrapped by
+      load_torch_state_dict.
+    - bare `BaseLineConvNeXt_KAN_mamba` dicts (`net.*`).
+    - bare `OurClassfierConvnextV2` dicts (ourmodel.py:34-67).
+
+    Mapped modules (reference ourmodel.py:34-95):
+    - text_encoder.bert.* (HF BertModel inside BertEncoder, BERT.py:7-21)
+    - image_encoder.* — HF ConvNextModel naming or the torchvision
+      `features.*` fallback (ourmodel.py:41-63), autodetected
+    - conv (1x1 1024->768 reduce) -> reduce_conv
+    - {textbased,imagbased}_cross_attention.{query,key,value}_conv
+      (1x1-conv QKV CrossAttention, ourmodel.py:9-31)
+    - fc head; or a `moe.*` subtree (w_gate/w_noise + KAN expert bank,
+      moe.py:154-169) when head="moe".
+    """
+    sd = _strip_prefix(sd, "")
+    # peel the Lightning wrappers: Model4AAAI_MoE.net.net / wrapper.net
+    for wrapper in ("net.net.", "net."):
+        if any(k.startswith(wrapper + "text_encoder.") for k in sd):
+            sd = {k[len(wrapper):]: v for k, v in sd.items() if k.startswith(wrapper)}
+            break
+
+    bert_params, _ = convert_bert(sd, num_layers=num_bert_layers,
+                                  prefix="text_encoder.bert.")
+    img_params = convert_convnext_any(
+        _sub(sd, "image_encoder."), variant=convnext_variant
+    )
+    params: dict = {
+        "text_encoder": bert_params,
+        "image_encoder": img_params,
+        "reduce_conv": _conv1x1(sd, "conv"),
+        "textbased_cross_attention": {
+            "query_conv": _conv1x1(sd, "textbased_cross_attention.query_conv"),
+            "key_conv": _conv1x1(sd, "textbased_cross_attention.key_conv"),
+            "value_conv": _conv1x1(sd, "textbased_cross_attention.value_conv"),
+        },
+        "imagbased_cross_attention": {
+            "query_conv": _conv1x1(sd, "imagbased_cross_attention.query_conv"),
+            "key_conv": _conv1x1(sd, "imagbased_cross_attention.key_conv"),
+            "value_conv": _conv1x1(sd, "imagbased_cross_attention.value_conv"),
+        },
+    }
+    kan_state: dict = {}
+    if head == "moe" and "moe.w_gate" in sd:
+        experts_p, experts_s = _convert_kan_bank(sd, "moe.experts.", moe_num_experts)
+        params["moe"] = {
+            "w_gate": sd["moe.w_gate"],
+            "w_noise": sd["moe.w_noise"],
+            "experts": experts_p,
+        }
+        if experts_s:
+            kan_state["moe"] = {"experts": experts_s}
+    elif "fc.weight" in sd:
+        params["fc"] = _dense(sd, "fc")
+    return params, {}, kan_state
+
+
+# ---------------------------------------------------------------------------
 # ConvNeXt (torchvision naming: features.N...)
 # ---------------------------------------------------------------------------
 

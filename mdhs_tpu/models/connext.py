@@ -37,6 +37,9 @@ class ConNexTClassifier(nn.Module):
     head: str = "linear"  # "linear" | "moe"
     moe_num_experts: int = 4
     moe_k: int = 2
+    # None -> reference default KAN expert stack [in, 512, 128, 32, out]
+    # (moe.py:154-160); override for smaller experts
+    moe_expert_layers: Optional[tuple] = None
     use_mamba_fusion: bool = False
     llm_hidden_dim: int = 3584
     bert: BertConfig = BertConfig()
@@ -67,6 +70,7 @@ class ConNexTClassifier(nn.Module):
                 output_size=self.num_labels,
                 num_experts=self.moe_num_experts,
                 k=self.moe_k,
+                expert_layers=self.moe_expert_layers,
                 dtype=self.dtype,
             )
         else:

@@ -26,6 +26,13 @@ CONVNEXT_SPECS = {
 }
 
 
+def register_convnext_variant(name: str, depths: Sequence[int], dims: Sequence[int]):
+    """Register a custom (depths, dims) spec usable as `variant` everywhere
+    (model building, converters). Mirrors HF ConvNextConfig's free-form
+    depths/hidden_sizes; used by parity tests to build small twins."""
+    CONVNEXT_SPECS[name] = (tuple(depths), tuple(dims))
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
     layer_scale_init: float = 1e-6

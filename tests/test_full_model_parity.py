@@ -524,3 +524,245 @@ def test_baseline_full_model_logit_parity(fusion_type):
         jnp.asarray(mask.astype(np.int32)),
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# ConNexT twin: OurClassfierConvnextV2 (reference ConNexT/models/ourmodel.py
+# :9-95) with the HF ConvNextModel tower, wrapped in the Lightning
+# Model4AAAI_MoE nesting (net.net.*, pl_model_MOE2.py:59-77,111), plus the
+# KAN-expert MoE head (moe.py:142-292, kan1.py:9-166) for head="moe".
+# ---------------------------------------------------------------------------
+
+class TorchKANLinear(tnn.Module):
+    """efficient-KAN layer (reference kan1.py:9-166): silu(x)@Wb^T +
+    b_splines(x)@ (Ws*scaler)^T, grid buffer (in, G+2K+1)."""
+
+    def __init__(self, fin, fout, G=5, K=3):
+        super().__init__()
+        h = 2.0 / G
+        grid = torch.arange(-K, G + K + 1, dtype=torch.float32) * h - 1.0
+        self.register_buffer("grid", grid.expand(fin, -1).contiguous())
+        self.base_weight = tnn.Parameter(torch.randn(fout, fin) * 0.3)
+        self.spline_weight = tnn.Parameter(torch.randn(fout, fin, G + K) * 0.1)
+        self.spline_scaler = tnn.Parameter(torch.randn(fout, fin) * 0.3)
+        self.K = K
+
+    def b_splines(self, x):
+        grid = self.grid
+        x = x.unsqueeze(-1)
+        bases = ((x >= grid[:, :-1]) & (x < grid[:, 1:])).to(x.dtype)
+        for k in range(1, self.K + 1):
+            bases = (
+                (x - grid[:, : -(k + 1)])
+                / (grid[:, k:-1] - grid[:, : -(k + 1)])
+                * bases[:, :, :-1]
+            ) + (
+                (grid[:, k + 1 :] - x)
+                / (grid[:, k + 1 :] - grid[:, 1:(-k)])
+                * bases[:, :, 1:]
+            )
+        return bases
+
+    def forward(self, x):
+        base = torch.nn.functional.linear(
+            torch.nn.functional.silu(x), self.base_weight
+        )
+        sw = self.spline_weight * self.spline_scaler.unsqueeze(-1)
+        spline = torch.nn.functional.linear(
+            self.b_splines(x).flatten(1), sw.flatten(1)
+        )
+        return base + spline
+
+
+class TorchKAN1(tnn.Module):
+    def __init__(self, layers_hidden):
+        super().__init__()
+        self.layers = tnn.ModuleList(
+            [TorchKANLinear(a, b) for a, b in zip(layers_hidden, layers_hidden[1:])]
+        )
+
+    def forward(self, x):
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+
+class TorchMoE(tnn.Module):
+    """Eval-path sparse MoE (reference moe.py:242-292 with noisy gating off):
+    softmax -> top-k -> renormalize; dense gate-weighted combine is exactly
+    SparseDispatcher's gather/combine for the selected experts."""
+
+    def __init__(self, fin, fout, num_experts, k, expert_layers):
+        super().__init__()
+        self.experts = tnn.ModuleList(
+            [TorchKAN1(expert_layers) for _ in range(num_experts)]
+        )
+        self.w_gate = tnn.Parameter(torch.randn(fin, num_experts) * 0.2)
+        self.w_noise = tnn.Parameter(torch.zeros(fin, num_experts))
+        self.k, self.E = k, num_experts
+
+    def forward(self, x):
+        probs = torch.softmax(x @ self.w_gate, dim=1)
+        top, idx = probs.topk(min(self.k + 1, self.E), dim=1)
+        topk = top[:, : self.k]
+        gk = topk / (topk.sum(1, keepdim=True) + 1e-6)
+        gates = torch.zeros_like(probs).scatter(1, idx[:, : self.k], gk)
+        out = torch.stack([e(x) for e in self.experts], dim=1)  # (B, E, out)
+        return (gates.unsqueeze(-1) * out).sum(1)
+
+
+class TorchConvCross(tnn.Module):
+    """1x1-conv QKV cross attention (reference ourmodel.py:9-31)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.query_conv = tnn.Conv2d(dim, dim, 1)
+        self.key_conv = tnn.Conv2d(dim, dim, 1)
+        self.value_conv = tnn.Conv2d(dim, dim, 1)
+
+    def forward(self, x, y):
+        q = self.query_conv(x)
+        k = self.key_conv(y)
+        v = self.value_conv(y)
+        attn = torch.softmax(
+            q.flatten(2).permute(0, 2, 1) @ k.flatten(2), dim=-1
+        )
+        out = attn @ v.flatten(2).permute(0, 2, 1)
+        return out.permute(0, 2, 1).view(x.size())
+
+
+class TorchOurClassifier(tnn.Module):
+    """OurClassfierConvnextV2 twin, HF tower path (ourmodel.py:34-95)."""
+
+    def __init__(self, hf_bert_cfg, cnx_cfg, num_labels, fusion_dim,
+                 head="linear", expert_layers=None):
+        super().__init__()
+        from transformers import BertModel as HFBertModel
+        from transformers import ConvNextModel
+
+        class _BertEncoder(tnn.Module):  # reference BERT.py:7-21
+            def __init__(self):
+                super().__init__()
+                self.bert = HFBertModel(hf_bert_cfg)
+
+            def forward(self, ids, mask):
+                return self.bert(
+                    input_ids=ids, attention_mask=mask
+                ).last_hidden_state[:, 0, :]
+
+        self.text_encoder = _BertEncoder()
+        self.image_encoder = ConvNextModel(cnx_cfg)
+        self.conv = tnn.Conv2d(cnx_cfg.hidden_sizes[-1], fusion_dim, 1)
+        self.textbased_cross_attention = TorchConvCross(fusion_dim)
+        self.imagbased_cross_attention = TorchConvCross(fusion_dim)
+        self.head = head
+        if head == "moe":
+            self.moe = TorchMoE(fusion_dim, num_labels, 4, 2, expert_layers)
+        else:
+            self.fc = tnn.Linear(fusion_dim, num_labels)
+
+    def forward(self, img, ids, mask):
+        t = self.text_encoder(ids, mask)
+        im = self.image_encoder(img).last_hidden_state
+        imr = self.conv(im)
+        te = t.unsqueeze(-1).unsqueeze(-1)
+        p1 = self.textbased_cross_attention(imr, te).mean(dim=(2, 3))
+        p2 = self.imagbased_cross_attention(te, imr).mean(dim=(2, 3))
+        fused = p1 + p2
+        return self.moe(fused) if self.head == "moe" else self.fc(fused)
+
+
+class _LightningWrap(tnn.Module):
+    def __init__(self, inner):
+        super().__init__()
+        self.net = inner
+
+
+@pytest.mark.parametrize("head", ["linear", "moe"])
+def test_connext_full_model_logit_parity(head):
+    """End-to-end ConNexT logit parity through convert_connext_full: the
+    route that makes the reference's headline 93.41% HAM checkpoint
+    (docs/test_commands.md:25-32, predict.py:53-57) loadable."""
+    from transformers import BertConfig as HFBertConfig
+    from transformers import ConvNextConfig
+
+    from mdhs_tpu.core.convert import convert_connext_full
+    from mdhs_tpu.models.bert import BertConfig
+    from mdhs_tpu.models.connext import ConNexTClassifier
+    from mdhs_tpu.models.convnext import register_convnext_variant
+
+    D = 48  # BERT hidden == fusion dim (reference: 768)
+    hf_cfg = HFBertConfig(
+        vocab_size=120, hidden_size=D, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    depths, dims = (2, 2, 2, 2), (16, 24, 32, 40)
+    cnx_cfg = ConvNextConfig(depths=list(depths), hidden_sizes=list(dims))
+    expert_layers = (D, 24, 16, 7)
+
+    torch.manual_seed(5)
+    tm = TorchOurClassifier(
+        hf_cfg, cnx_cfg, num_labels=7, fusion_dim=D, head=head,
+        expert_layers=expert_layers,
+    ).eval()
+    # Lightning nesting: Model4AAAI_MoE.net = BaseLineConvNeXt_KAN_mamba,
+    # .net = OurClassfierConvnextV2 -> keys net.net.*
+    wrapped = _LightningWrap(_LightningWrap(tm))
+
+    rng = np.random.default_rng(5)
+    B, S, L = 2, 64, 12
+    img = rng.normal(size=(B, 3, S, S)).astype(np.float32)
+    ids = rng.integers(0, 120, (B, L)).astype(np.int64)
+    mask = np.ones((B, L), np.int64)
+    mask[1, 8:] = 0
+    with torch.no_grad():
+        ref = tm(torch.tensor(img), torch.tensor(ids), torch.tensor(mask)).numpy()
+
+    register_convnext_variant("parity_pico", depths, dims)
+    params, stats, kan_state = convert_connext_full(
+        to_np(wrapped.state_dict()), head=head,
+        convnext_variant="parity_pico", num_bert_layers=2, moe_num_experts=4,
+    )
+    assert not stats
+
+    bert = BertConfig(
+        vocab_size=120, hidden_size=D, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96, max_position_embeddings=64,
+        hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    model = ConNexTClassifier(
+        num_labels=7, convnext_variant="parity_pico", fusion_dim=D,
+        head=head, moe_num_experts=4, moe_k=2,
+        moe_expert_layers=expert_layers, bert=bert, dtype=jnp.float32,
+    )
+    # structural check: converted trees must exactly fill the init trees
+    init_vars = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((B, S, S, 3), jnp.float32),
+            jnp.zeros((B, L), jnp.int32),
+            jnp.ones((B, L), jnp.int32),
+        )
+    )()
+    import flax
+
+    variables = {
+        "params": flax.serialization.from_state_dict(
+            init_vars["params"], as_jax(params)
+        )
+    }
+    if head == "moe":
+        variables["kan_state"] = flax.serialization.from_state_dict(
+            init_vars["kan_state"], as_jax(kan_state)
+        )
+
+    logits, _balance = jax.jit(
+        lambda v, i, t, m: model.apply(v, i, t, m)
+    )(
+        variables,
+        jnp.asarray(np.transpose(img, (0, 2, 3, 1))),
+        jnp.asarray(ids.astype(np.int32)),
+        jnp.asarray(mask.astype(np.int32)),
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4, rtol=1e-3)
