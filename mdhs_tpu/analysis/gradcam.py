@@ -46,11 +46,18 @@ def gradcam(
     target_class=None,
     layers: Sequence[str] = DEFAULT_LAYERS,
     image_size: int = 224,
+    return_layer_cams: bool = False,
 ):
     """forward(variables) -> (logits (B,C), taps dict with stem/layer1..4).
 
     `variables` must include the zero "perturbations" collection from
-    model.init. Returns (cams (B, S, S) in [0,1], logits np.ndarray).
+    model.init. Returns (cams (B, S, S) in [0,1], logits np.ndarray)
+    [, per-layer cam dict when return_layer_cams].
+
+    Per-layer math matches analysis_tools.py:74-111 exactly: weights =
+    GAP(grad), cam = ReLU(sum_c w_c A_c), divide by max (no min shift —
+    the reference does `cam / max` when max > 0), bilinear resize,
+    average, re-normalize the average by its max (:105-109).
     """
     perts = variables.get("perturbations")
     if perts is None:
@@ -66,6 +73,7 @@ def gradcam(
     grads, (logits, taps) = jax.grad(score_fn, has_aux=True)(perts)
 
     cams = []
+    layer_cams = {}
     for name in layers:
         g = _find_leaf(grads, name)
         a = _find_leaf(taps, name)
@@ -74,14 +82,18 @@ def gradcam(
         w = g.astype(jnp.float32).mean(axis=(1, 2))  # (B, C): GAP of gradients
         cam = jnp.einsum("bhwc,bc->bhw", a.astype(jnp.float32), w)
         cam = jax.nn.relu(cam)
-        mn = cam.min(axis=(1, 2), keepdims=True)
         mx = cam.max(axis=(1, 2), keepdims=True)
-        cam = (cam - mn) / jnp.maximum(mx - mn, 1e-8)
+        cam = jnp.where(mx > 0, cam / jnp.where(mx > 0, mx, 1.0), cam)
         cam = jax.image.resize(cam, (cam.shape[0], image_size, image_size), "bilinear")
         cams.append(cam)
+        layer_cams[name] = np.asarray(cam)
     if not cams:
         raise ValueError(f"no CAM layers found among {layers}")
     avg = sum(cams) / len(cams)
+    mx = avg.max(axis=(1, 2), keepdims=True)
+    avg = jnp.where(mx > 0, avg / jnp.where(mx > 0, mx, 1.0), avg)
+    if return_layer_cams:
+        return np.asarray(avg), np.asarray(logits), layer_cams
     return np.asarray(avg), np.asarray(logits)
 
 

@@ -44,6 +44,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norm import TorchBatchNorm
+
 from ..modules.mamba import _a_log_init, _dt_bias_init
 from ..ops.selective_scan import selective_scan
 from ..ops.gelu import exact_gelu
@@ -72,7 +74,7 @@ class PatchEmbed(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # reference :1464-1490: conv(no bias) -> BN(eps=1e-4) -> ReLU, twice
-        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+        norm = partial(TorchBatchNorm, use_running_average=not train, momentum=0.9,
                        epsilon=1e-4, dtype=self.dtype)
         x = nn.Conv(self.in_dim, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
@@ -89,7 +91,7 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+        norm = partial(TorchBatchNorm, use_running_average=not train, momentum=0.9,
                        epsilon=1e-5, dtype=self.dtype)
         h = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
                     name="conv1")(x)
@@ -294,7 +296,7 @@ class MambaVision(nn.Module):
                             use_bias=False, dtype=self.dtype, name=f"ds{stage + 1}")(x)
         if features_only:
             return x
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="norm")(x)
         pooled = x.mean(axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(pooled)

@@ -22,6 +22,8 @@ from typing import Any, Callable, Dict, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .norm import TorchBatchNorm
+
 ModuleDef = Any
 
 
@@ -31,7 +33,7 @@ class BasicBlock(nn.Module):
     filters: int
     strides: int = 1
     conv: ModuleDef = nn.Conv
-    norm: ModuleDef = nn.BatchNorm
+    norm: ModuleDef = TorchBatchNorm
 
     @nn.compact
     def __call__(self, x):
@@ -55,7 +57,7 @@ class Bottleneck(nn.Module):
     filters: int
     strides: int = 1
     conv: ModuleDef = nn.Conv
-    norm: ModuleDef = nn.BatchNorm
+    norm: ModuleDef = TorchBatchNorm
     expansion: int = 4
 
     @nn.compact
@@ -129,7 +131,7 @@ class ResNet(nn.Module):
         # breaks bit-parity with torchvision at feature-map borders.
         conv = _torch_conv(self.dtype)
         norm = partial(
-            nn.BatchNorm,
+            TorchBatchNorm,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -145,9 +147,12 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         # perturb() taps are identity in normal runs; Grad-CAM differentiates
         # w.r.t. them to read activation gradients functionally (no hooks).
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # tap AFTER maxpool: the reference's stem module ends with maxpool
+        # (encoder.py:63-68), and Grad-CAM taps that module's output
+        # (run_analysis.py:127)
         x = self.perturb("stem", x)
         taps = {"stem": x}
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = [64, 128, 256, 512]
         for i, (n_blocks, width) in enumerate(zip(stage_sizes, widths)):
