@@ -116,8 +116,12 @@ class NativeWordPiece:
     def encode(self, text: str, max_length: int = 128):
         ids = np.empty(max_length, np.int32)
         mask = np.empty(max_length, np.int32)
+        # NULs would truncate the C string at strlen; HF's _clean_text
+        # removes them anyway, so stripping host-side is semantics-neutral.
         self._lib.wp_encode(
-            self._h, (text or "").encode("utf-8", errors="ignore"), max_length,
+            self._h,
+            (text or "").replace("\x00", "").encode("utf-8", errors="ignore"),
+            max_length,
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         )

@@ -55,7 +55,106 @@ static bool is_cjk(uint32_t cp) {
          (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0xF900 && cp <= 0xFAFF);
 }
 
-// Basic tokenization: whitespace split, CJK isolation, punct split, lowercase.
+// HF BasicTokenizer._clean_text: NUL / U+FFFD / control+format chars removed.
+static bool is_removed_control(uint32_t cp) {
+  if (cp == 0 || cp == 0xFFFD) return true;
+  if (cp < 0x20 && cp != '\t' && cp != '\n' && cp != '\r') return true;
+  if (cp == 0x7F || cp == 0xAD) return true;  // DEL, soft hyphen (Cf)
+  if ((cp >= 0x200B && cp <= 0x200F) || (cp >= 0x202A && cp <= 0x202E) ||
+      cp == 0x2060 || cp == 0xFEFF)
+    return true;
+  return false;
+}
+
+static bool is_uspace(uint32_t cp) {
+  return cp == 0xA0 || cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200A) ||
+         cp == 0x2028 || cp == 0x2029 || cp == 0x202F || cp == 0x205F ||
+         cp == 0x3000;
+}
+
+// Unicode category-P approximation for the BMP ranges that occur in text.
+static bool is_upunct(uint32_t cp) {
+  if (cp == 0xA1 || cp == 0xA7 || cp == 0xAB || cp == 0xB6 || cp == 0xB7 ||
+      cp == 0xBB || cp == 0xBF)
+    return true;
+  if ((cp >= 0x2010 && cp <= 0x2027) || (cp >= 0x2030 && cp <= 0x205E))
+    return !is_uspace(cp);
+  if (cp >= 0x3001 && cp <= 0x303F) return true;  // CJK punctuation
+  if ((cp >= 0xFF01 && cp <= 0xFF0F) || (cp >= 0xFF1A && cp <= 0xFF20) ||
+      (cp >= 0xFF3B && cp <= 0xFF40) || (cp >= 0xFF5B && cp <= 0xFF65))
+    return true;  // fullwidth forms
+  return false;
+}
+
+// Accent stripping (HF _run_strip_accents: NFD then drop Mn) for the Latin
+// repertoire, fused with lowercasing. Returns the base ASCII letter, 1 to
+// drop (combining mark), or 0 to keep the codepoint (lowercased by caller).
+static char latin_base(uint32_t cp) {
+  if (cp >= 0x300 && cp <= 0x36F) return 1;  // combining marks: drop
+  // Latin-1 Supplement: 0 marks non-decomposables (æ ð ø þ ß × ÷ kept)
+  static const char kL1[0x40] = {
+      // C0-CF
+      'a', 'a', 'a', 'a', 'a', 'a', 0, 'c', 'e', 'e', 'e', 'e', 'i', 'i', 'i', 'i',
+      // D0-DF
+      0, 'n', 'o', 'o', 'o', 'o', 'o', 0, 0, 'u', 'u', 'u', 'u', 'y', 0, 0,
+      // E0-EF
+      'a', 'a', 'a', 'a', 'a', 'a', 0, 'c', 'e', 'e', 'e', 'e', 'i', 'i', 'i', 'i',
+      // F0-FF
+      0, 'n', 'o', 'o', 'o', 'o', 'o', 0, 0, 'u', 'u', 'u', 'u', 'y', 0, 'y'};
+  if (cp >= 0xC0 && cp <= 0xFF) return kL1[cp - 0xC0];
+  // Latin Extended-A; 0 = no canonical decomposition (đ ħ ı ĳ ł ŋ œ ŧ ſ ...)
+  static const char kExtA[0x80] = {
+      'a', 'a', 'a', 'a', 'a', 'a', 'c', 'c', 'c', 'c', 'c', 'c', 'c', 'c',
+      'd', 'd', 0, 0,  // 010E-0111
+      'e', 'e', 'e', 'e', 'e', 'e', 'e', 'e', 'e', 'e',  // 0112-011B
+      'g', 'g', 'g', 'g', 'g', 'g', 'g', 'g', 'h', 'h', 0, 0,  // 011C-0127
+      'i', 'i', 'i', 'i', 'i', 'i', 'i', 'i', 'i', 0, 0, 0,  // 0128-0133
+      'j', 'j', 'k', 'k', 0,  // 0134-0138
+      'l', 'l', 'l', 'l', 'l', 'l', 0, 0, 0, 0,  // 0139-0142
+      'n', 'n', 'n', 'n', 'n', 'n', 0, 0, 0,  // 0143-014B
+      'o', 'o', 'o', 'o', 'o', 'o', 0, 0,  // 014C-0153
+      'r', 'r', 'r', 'r', 'r', 'r',  // 0154-0159
+      's', 's', 's', 's', 's', 's', 's', 's',  // 015A-0161
+      't', 't', 't', 't', 0, 0,  // 0162-0167
+      'u', 'u', 'u', 'u', 'u', 'u', 'u', 'u', 'u', 'u', 'u', 'u',  // 0168-0173
+      'w', 'w', 'y', 'y', 'y',  // 0174-0178
+      'z', 'z', 'z', 'z', 'z', 'z', 0};  // 0179-017F
+  if (cp >= 0x100 && cp <= 0x17F) return kExtA[cp - 0x100];
+  return 0;
+}
+
+// Lowercase the kept non-ASCII Latin codepoints (HF lower()).
+static uint32_t latin_lower(uint32_t cp) {
+  if ((cp >= 0xC0 && cp <= 0xDE) && cp != 0xD7) return cp + 0x20;
+  switch (cp) {  // Ext-A non-decomposables with odd-offset pairs
+    case 0x110: case 0x126: case 0x132: case 0x13F: case 0x141:
+    case 0x14A: case 0x152: case 0x166:
+      return cp + 1;
+    default:
+      return cp;
+  }
+}
+
+static void append_utf8(std::string* s, uint32_t cp) {
+  if (cp < 0x80) {
+    s->push_back(static_cast<char>(cp));
+  } else if (cp < 0x800) {
+    s->push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    s->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    s->push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    s->push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    s->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    s->push_back(static_cast<char>(0xF0 | (cp >> 18)));
+    s->push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+    s->push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    s->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
+}
+
+// Basic tokenization (HF BasicTokenizer): clean, CJK isolation, whitespace
+// split, lowercase + accent strip, punct split.
 static std::vector<std::string> basic_tokenize(const Tokenizer& t,
                                                const char* text) {
   std::vector<std::string> words;
@@ -71,6 +170,8 @@ static std::vector<std::string> basic_tokenize(const Tokenizer& t,
   while (i < len) {
     uint32_t cp;
     int n = utf8_next(text + i, len - i, &cp);
+    i += n;
+    if (is_removed_control(cp)) continue;
     if (cp < 0x80) {
       unsigned char c = static_cast<unsigned char>(cp);
       if (std::isspace(c)) {
@@ -82,13 +183,36 @@ static std::vector<std::string> basic_tokenize(const Tokenizer& t,
         cur.push_back(t.lowercase ? static_cast<char>(std::tolower(c))
                                   : static_cast<char>(c));
       }
-    } else if (is_cjk(cp)) {
-      flush();
-      words.push_back(std::string(text + i, n));
-    } else {
-      cur.append(text + i, n);
+      continue;
     }
-    i += n;
+    if (is_cjk(cp)) {
+      flush();
+      std::string w;
+      append_utf8(&w, cp);
+      words.push_back(w);
+      continue;
+    }
+    if (is_uspace(cp)) {
+      flush();
+      continue;
+    }
+    if (is_upunct(cp)) {
+      flush();
+      std::string w;
+      append_utf8(&w, cp);
+      words.push_back(w);
+      continue;
+    }
+    if (t.lowercase) {
+      char base = latin_base(cp);
+      if (base == 1) continue;  // combining mark stripped
+      if (base) {
+        cur.push_back(base);
+        continue;
+      }
+      cp = latin_lower(cp);
+    }
+    append_utf8(&cur, cp);
   }
   flush();
   return words;
@@ -96,7 +220,11 @@ static std::vector<std::string> basic_tokenize(const Tokenizer& t,
 
 static void wordpiece(const Tokenizer& t, const std::string& word,
                       std::vector<int>* out) {
-  if (static_cast<int>(word.size()) > t.max_chars_per_word) {
+  // HF counts codepoints, not bytes, for the >100-char UNK rule
+  int n_cp = 0;
+  for (size_t j = 0; j < word.size(); ++j)
+    if ((static_cast<unsigned char>(word[j]) & 0xC0) != 0x80) ++n_cp;
+  if (n_cp > t.max_chars_per_word) {
     out->push_back(t.unk_id);
     return;
   }
