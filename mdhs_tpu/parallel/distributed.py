@@ -6,6 +6,15 @@ init_process_group("nccl")). On TPU pods, `jax.distributed.initialize`
 wires hosts over DCN; every host then sees the global device set and the
 same Mesh code paths work unchanged — collectives ride ICI within a slice
 and DCN across hosts, all emitted by XLA.
+
+Multi-process data convention (differs from torch DistributedSampler):
+every process runs the SAME deterministic input pipeline and materializes
+the full global batch on its host; `parallel.mesh.global_put` then
+assembles the global jax.Array from each process's addressable slice
+(make_array_from_callback), so each host only feeds the shards its own
+devices consume. This keeps one SPMD program with no rank-conditional
+logic — the TPU-idiomatic shape of DDP. Tested by
+tests/test_sharding.py::test_two_process_distributed.
 """
 
 from __future__ import annotations

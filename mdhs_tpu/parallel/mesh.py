@@ -56,6 +56,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_put(x, sharding: NamedSharding):
+    """device_put that also works on multi-process meshes.
+
+    Single-process: plain jax.device_put. Multi-process (the mesh spans
+    devices this process cannot address, so device_put would raise): every
+    process holds the FULL host value — our multi-process convention, see
+    parallel/distributed.py — and make_array_from_callback assembles the
+    global jax.Array from each process's addressable slice of it.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def global_put_tree(tree, sharding: NamedSharding):
+    return jax.tree_util.tree_map(lambda x: global_put(x, sharding), tree)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a pytree of host arrays onto the mesh, batch-sharded on axis 0
     (scalars like n_valid are replicated)."""
@@ -63,7 +82,7 @@ def shard_batch(batch, mesh: Mesh):
     rep = replicated(mesh)
 
     def _put(x):
-        return jax.device_put(x, sh if getattr(x, "ndim", 0) >= 1 else rep)
+        return global_put(x, sh if getattr(x, "ndim", 0) >= 1 else rep)
 
     return jax.tree_util.tree_map(_put, batch)
 
@@ -97,5 +116,43 @@ def shard_params(params, mesh: Mesh):
     out = []
     for path, leaf in leaves:
         sh = param_sharding_rules(tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path), leaf, mesh)
-        out.append(jax.device_put(leaf, sh))
+        out.append(global_put(leaf, sh))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _path_strs(path):
+    return tuple(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def opt_state_shardings(opt_shapes, params, mesh: Mesh):
+    """Sharding tree for an optax state, mirroring the param placements.
+
+    `jit(tx.init)` does NOT inherit param shardings: Adam/Muon moments are
+    `zeros_like(params)` — constants with no data dependence on the sharded
+    inputs, so XLA's propagation has nothing to anchor them and they land
+    single-device/replicated (silently wasting HBM per chip and breaking
+    the TP memory story). Instead we build explicit out_shardings: any
+    opt-state leaf whose path SUFFIX + shape matches a param leaf (optax
+    moment trees embed the full param tree, e.g.
+    `0/mu/<param path...>`) gets that param's sharding; everything else
+    (step counts, schedule state) is replicated.
+    """
+    rep = replicated(mesh)
+    by_path = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        by_path[_path_strs(path)] = (leaf.shape, leaf.sharding)
+    suffix_lens = sorted({len(k) for k in by_path}, reverse=True)
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(opt_shapes)
+    out = []
+    for path, leaf in leaves:
+        sp = _path_strs(path)
+        sh = rep
+        for L in suffix_lens:
+            if len(sp) >= L:
+                hit = by_path.get(sp[-L:])
+                if hit is not None and hit[0] == tuple(leaf.shape):
+                    sh = hit[1]
+                    break
+        out.append(sh)
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -102,6 +102,7 @@ def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype
             head="moe" if moe.get("enabled", False) else "linear",
             moe_num_experts=moe.get("num_experts", 4),
             moe_k=moe.get("k", 2),
+            moe_expert_layers=tuple(moe["expert_layers"]) if moe.get("expert_layers") else None,
             use_mamba_fusion=bool(cfg.get("model.mamba_fusion.enabled", False)),
             bert=bert,
             dtype=dtype,
@@ -154,9 +155,18 @@ class Trainer:
         # subset it does divide across (torch DataParallel can't split batch
         # 4 over 8 GPUs either); leftover devices idle.
         n_model = int(cfg.get("parallel.n_model", 1))
+        if n_model > len(jax.devices()):
+            raise ValueError(
+                f"parallel.n_model={n_model} exceeds the {len(jax.devices())} "
+                "available devices"
+            )
         n_avail = len(jax.devices()) // n_model
         batch_sz = int(cfg.get("training.batch_size", 32))
-        n_data = math.gcd(batch_sz, n_avail) or 1
+        # largest d <= n_avail that divides the batch (gcd can undershoot:
+        # batch 6 on 4 devices should use 3, not gcd=2)
+        n_data = max(
+            (d for d in range(1, n_avail + 1) if batch_sz % d == 0), default=1
+        )
         self.mesh = make_mesh(
             n_data=n_data, n_model=n_model,
             devices=jax.devices()[: n_data * n_model],
@@ -444,18 +454,30 @@ class Trainer:
             # Place params per the TP/EP rules (replicated by default) and
             # replicate the aux state; opt_state inherits the param
             # shardings through jitted init's sharding propagation.
-            from ..parallel.mesh import shard_params
+            from ..parallel.mesh import global_put_tree, shard_params
 
             params = shard_params(params, self.mesh)
             rep = replicated(self.mesh)
             if batch_stats:
-                batch_stats = jax.device_put(batch_stats, rep)
+                batch_stats = global_put_tree(batch_stats, rep)
             if kan_state:
-                kan_state = jax.device_put(kan_state, rep)
+                kan_state = global_put_tree(kan_state, rep)
 
         self.freeze_mask = _freeze_mask(params, self.cfg, self.family)
         self.tx = make_optimizer(self._opt_name, self.lr_schedule, self.cfg, self.freeze_mask)
-        opt_state = jax.jit(self.tx.init)(params)
+        if self.mesh.size > 1:
+            # Moments must mirror the param placements; jit propagation
+            # cannot do this (zeros_like has no data dependence on params)
+            # — see parallel.mesh.opt_state_shardings.
+            from ..parallel.mesh import opt_state_shardings
+
+            opt_shapes = jax.eval_shape(self.tx.init, params)
+            opt_state = jax.jit(
+                self.tx.init,
+                out_shardings=opt_state_shardings(opt_shapes, params, self.mesh),
+            )(params)
+        else:
+            opt_state = jax.jit(self.tx.init)(params)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -703,7 +725,9 @@ class Trainer:
             return None
         logits_all, labels_all = [], []
         for batch in self.val_loader:
-            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+            # _device_batch shards over the mesh data axis — the per-class
+            # report must run the same sharded path as validate()
+            jb = self._device_batch(batch)
             logits = np.asarray(eval_step(self.state, jb), np.float32)
             n = int(batch["n_valid"])
             logits_all.append(logits[:n])
@@ -828,7 +852,28 @@ class Trainer:
         )
         log.info("re-gridded %d KAN layer(s)", n)
 
-    def _merge_subtrees(self, param_sub: dict, stats_sub: dict):
+    def _replace_like(self, old_tree, new_tree):
+        """Re-place merged host arrays with the live leaves' shardings.
+
+        merge_tolerant/from_state_dict yield numpy leaves; on a >1-device
+        mesh they must go back onto the devices with the SAME placements
+        the jitted step expects (TP/EP params, replicated stats) —
+        otherwise restore would silently de-shard the state (caught by
+        test_sharding's resume roundtrip)."""
+        if self.mesh.size <= 1:
+            return new_tree
+        from ..parallel.mesh import global_put
+
+        def put(old, new):
+            if old is new:
+                return old
+            sh = getattr(old, "sharding", None)
+            return global_put(new, sh) if sh is not None else jnp.asarray(new)
+
+        return jax.tree_util.tree_map(put, old_tree, new_tree)
+
+    def _merge_subtrees(self, param_sub: dict, stats_sub: dict,
+                        kan_sub: dict | None = None):
         """Tolerantly merge converted subtrees (keyed by top-level module
         name) into the live state."""
         pd = flax.serialization.to_state_dict(self.state.params)
@@ -840,7 +885,17 @@ class Trainer:
                 flax.serialization.to_state_dict(bs), stats_sub, warn_missing=False
             )
             bs = flax.serialization.from_state_dict(bs, bd)
-        self.state = self.state.replace(params=params, batch_stats=bs)
+        ks = self.state.kan_state
+        if kan_sub and ks:
+            kd = merge_tolerant(
+                flax.serialization.to_state_dict(ks), kan_sub, warn_missing=False
+            )
+            ks = flax.serialization.from_state_dict(ks, kd)
+        self.state = self.state.replace(
+            params=self._replace_like(self.state.params, params),
+            batch_stats=self._replace_like(self.state.batch_stats, bs),
+            kan_state=self._replace_like(self.state.kan_state, ks),
+        )
 
     def _load_pretrained(self):
         """Consume model.{image_encoder,text_encoder}.pretrained_path and
@@ -856,7 +911,8 @@ class Trainer:
         from ..core.convert import (
             convert_baseline_full,
             convert_bert,
-            convert_convnext_torchvision,
+            convert_connext_full,
+            convert_convnext_any,
             convert_mibf_full,
             convert_resnet,
             convert_resnet_classifier,
@@ -900,6 +956,19 @@ class Trainer:
                         num_bert_layers=self.model.cfg.bert.num_hidden_layers,
                     )
                 self._merge_subtrees(p, s)
+            elif self.family == "connext":
+                # Lightning Model4AAAI_MoE / bare OurClassfierConvnextV2
+                # dicts — the reference's headline 93.41% HAM checkpoint
+                # path (ConNexT/predict.py:53-57)
+                with convert_context(full_path, "ConNexT Model4AAAI_MoE"):
+                    p, s, ks = convert_connext_full(
+                        sd,
+                        head=self.model.head,
+                        convnext_variant=self.model.convnext_variant,
+                        num_bert_layers=self.model.bert.num_hidden_layers,
+                        moe_num_experts=self.model.moe_num_experts,
+                    )
+                self._merge_subtrees(p, s, ks)
             else:
                 raise ValueError(f"full-model import not supported for {self.family}")
             log.info("loaded full pretrained model from %s", full_path)
@@ -909,8 +978,10 @@ class Trainer:
             if sd is None:
                 self.load_weights(img_path)
             elif self.family == "connext":
-                with convert_context(img_path, "torchvision ConvNeXt"):
-                    p = convert_convnext_torchvision(
+                # HF ConvNextModel or torchvision features.* naming, both
+                # used by the reference (ourmodel.py:41-63) — autodetected
+                with convert_context(img_path, "ConvNeXt (HF or torchvision)"):
+                    p = convert_convnext_any(
                         sd, variant=cfg.get("model.image_encoder.variant", "base")
                     )
                 self._merge_subtrees({"image_encoder": p}, {})
@@ -958,7 +1029,15 @@ class Trainer:
         if loaded.get("batch_stats") and bs:
             bs_d = merge_tolerant(flax.serialization.to_state_dict(bs), loaded["batch_stats"])
             bs = flax.serialization.from_state_dict(bs, bs_d)
-        self.state = self.state.replace(params=params, batch_stats=bs)
+        ks = self.state.kan_state
+        if loaded.get("kan_state") and ks:
+            ks_d = merge_tolerant(flax.serialization.to_state_dict(ks), loaded["kan_state"])
+            ks = flax.serialization.from_state_dict(ks, ks_d)
+        self.state = self.state.replace(
+            params=self._replace_like(self.state.params, params),
+            batch_stats=self._replace_like(self.state.batch_stats, bs),
+            kan_state=self._replace_like(self.state.kan_state, ks),
+        )
         log.info("loaded weights from %s", path)
 
     # ------------------------------------------------------------------

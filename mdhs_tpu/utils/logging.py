@@ -52,6 +52,8 @@ class MetricWriter:
                 self._tb = None
 
     def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._f.closed:  # post-fit reports (e.g. ad-hoc validation) reopen
+            self._f = open(self.path, "a")
         self._f.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
         self._f.flush()
         if self._tb is not None:

@@ -61,12 +61,42 @@ with tempfile.TemporaryDirectory() as tmp:
     leaves = jax.tree_util.tree_leaves_with_path(tr.state.params)
     assert any(MODEL_AXIS in str(l.sharding.spec) for _, l in leaves), \\
         "expected at least one model-axis-sharded param"
+    # opt_state must inherit the TP/EP placements (Adam moments are
+    # param-shaped) — a propagation regression would silently replicate them
+    opt_specs = [str(getattr(l.sharding, "spec", l.sharding))
+                 for l in jax.tree_util.tree_leaves(tr.state.opt_state)
+                 if hasattr(l, "sharding") and l.ndim >= 2]
+    assert any(MODEL_AXIS in s for s in opt_specs), set(opt_specs)
     batch = next(iter(tr.train_loader))
     jb = tr._device_batch(batch)
     assert jb["image"].sharding.spec == P(DATA_AXIS)
     state = tr.fit()
     assert int(state.step) == len(tr.train_loader)
+    # per-class epoch report runs the same sharded path as validate()
+    rep = tr.log_validation_report(tr.eval_step_fn(), epoch=1)
+    assert rep is not None and math.isfinite(float(rep["f1_macro"]))
     print("OK-BASELINE-FIT")
+
+    # sharded checkpoint roundtrip: save_last wrote host arrays; a fresh
+    # Trainer on the same mesh must restore them onto sharded devices and
+    # resume training
+    last = os.path.join(tmp, "run", "last.msgpack")
+    assert os.path.exists(last)
+    cd_r = dict(cd)
+    cd_r["training"] = dict(cd["training"], resume_from=last)
+    tr_r = Trainer(Config(cd_r), family="baseline",
+                   output_dir=os.path.join(tmp, "run_resume"))
+    a = jax.tree_util.tree_leaves(tr.state.params)[0]
+    b = jax.tree_util.tree_leaves(tr_r.state.params)[0]
+    import numpy as _np
+    _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b), atol=1e-7)
+    leaves_r = jax.tree_util.tree_leaves_with_path(tr_r.state.params)
+    assert any(MODEL_AXIS in str(l.sharding.spec) for _, l in leaves_r)
+    step_r = tr_r.train_step_fn()
+    jb_r = tr_r._device_batch(next(iter(tr_r.train_loader)))
+    tr_r.state, m_r = step_r(tr_r.state, jb_r, tr_r.rng)
+    assert math.isfinite(float(m_r["loss"]))
+    print("OK-RESUME-ROUNDTRIP")
 
     # MIBF family: one real train step on the pure-dp mesh
     cd2 = synthetic_config(paths, tmp, batch_size=8, num_epochs=1, max_length=16)
@@ -87,6 +117,7 @@ with tempfile.TemporaryDirectory() as tmp:
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "OK-BASELINE-FIT" in out.stdout
+    assert "OK-RESUME-ROUNDTRIP" in out.stdout
     assert "OK-MIBF-STEP" in out.stdout
 
 
@@ -114,3 +145,86 @@ print("OKMESH")
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OKMESH" in out.stdout
+
+
+def test_two_process_distributed(tmp_path):
+    """2-process jax.distributed: torchrun-style envs -> initialize_multihost
+    -> 8 global devices (2 hosts x 4 virtual CPUs) -> real Trainer mesh ->
+    one sharded train step per process -> identical finite losses.
+
+    This is the actual multi-process DDP surface the reference exposes
+    (mibf_net/train_resnet.py:84-88); collectives cross the process
+    boundary through the distributed runtime.
+    """
+    import socket
+
+    from mdhs_tpu.data.synthetic import generate_synthetic_dataset
+
+    with socket.socket() as s:  # pick a free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    data_dir = str(tmp_path / "data")
+    paths = generate_synthetic_dataset(data_dir, num_images=16, image_size=48)
+    import json
+
+    with open(os.path.join(data_dir, "paths.json"), "w") as f:
+        json.dump({k: v for k, v in paths.items() if v}, f)
+
+    code = """
+import json, math, os, sys, tempfile
+from mdhs_tpu.parallel.distributed import initialize_multihost
+assert initialize_multihost(), "env vars not picked up"
+import jax
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+
+from mdhs_tpu.core.config import Config
+from mdhs_tpu.data.synthetic import synthetic_config
+from mdhs_tpu.train.trainer import Trainer
+
+data_dir = sys.argv[1]
+with open(os.path.join(data_dir, "paths.json")) as f:
+    paths = json.load(f)
+with tempfile.TemporaryDirectory() as run:
+    cd = synthetic_config(paths, run, batch_size=8, num_epochs=1, max_length=16)
+    cd["data"]["canvas"] = 56
+    cd["data"]["image_size"] = 48
+    tr = Trainer(Config(cd), family="baseline",
+                 output_dir=os.path.join(run, f"r{jax.process_index()}"))
+    assert tr.mesh.size == 8, tr.mesh.shape
+    step = tr.train_step_fn()
+    jb = tr._device_batch(next(iter(tr.train_loader)))
+    tr.state, m = step(tr.state, jb, tr.rng)
+    loss = float(m["loss"])
+    assert math.isfinite(loss), loss
+    print("LOSS=%.9f" % loss)
+"""
+    procs = []
+    logs = []
+    for rank in range(2):
+        env = _clean_env()
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env.update(
+            MASTER_ADDR="127.0.0.1", MASTER_PORT=str(port),
+            WORLD_SIZE="2", RANK=str(rank),
+        )
+        logf = open(str(tmp_path / f"rank{rank}.log"), "w+")
+        logs.append(logf)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code, data_dir], cwd=REPO, env=env,
+            stdout=logf, stderr=subprocess.STDOUT,
+        ))
+    rcs = [p.wait(timeout=900) for p in procs]
+    outs = []
+    for logf in logs:
+        logf.seek(0)
+        outs.append(logf.read())
+        logf.close()
+    assert rcs == [0, 0], f"rcs={rcs}\n--- rank0:\n{outs[0][-3000:]}\n--- rank1:\n{outs[1][-3000:]}"
+    losses = []
+    for o in outs:
+        line = [l for l in o.splitlines() if l.startswith("LOSS=")]
+        assert line, o[-2000:]
+        losses.append(float(line[-1].split("=")[1]))
+    assert losses[0] == losses[1], losses
