@@ -32,8 +32,13 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
-    # Serving-speed mode: bf16 softmax (no f32 upcast) + tanh-approx GELU.
-    # ~30% faster on TPU v5e at seq 128; off by default for exact HF parity.
+    # Serving-speed mode. Historically bf16 softmax + tanh-approx GELU
+    # (~30% faster pre-round-2); since the fused sublayer kernels landed,
+    # on kernel-eligible TPU shapes only the tanh-GELU half still applies
+    # (the attention/FFN blocks always run f32 softmax), and the measured
+    # end-to-end gain is within noise (BENCH_r02: 4403 vs 4395 img/s).
+    # Kept for the XLA fallback path; off by default for exact HF parity.
+    # Measured logit drift is recorded in PARITY.md ("fast_math").
     fast_math: bool = False
     # Attention implementation (config knob model.text_encoder.attention_impl):
     #   "auto"  — fused short-seq Pallas kernel (ops/fused_attention.py:
@@ -150,6 +155,12 @@ class BertSelfAttention(nn.Module):
             # VMEM — the (B,H,L,L) score tensor never hits HBM (the XLA path
             # materializes it twice per layer). f32 accumulation inside the
             # kernel, so numerics sit between fast_math and the exact path.
+            # Known deviation: SegmentIds(q=ids, kv=ids) makes PADDED query
+            # rows attend only to padded keys, so hidden states AT PAD
+            # POSITIONS differ from the HF path (where pad queries attend to
+            # real keys). CLS pooling and any mask-aware consumer are
+            # unaffected; consumers of all_hidden at padded positions
+            # (analysis paths) should not use the flash knob.
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds, flash_attention)
 

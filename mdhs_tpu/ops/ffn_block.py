@@ -134,6 +134,14 @@ ffn_block.defvjp(_fwd, _bwd)
 
 
 def supports(dtype, n_rows: int, hidden: int, intermediate: int) -> bool:
+    # Resident footprint: W1+W2 (2*H*Di bf16, constant index_map) + the
+    # (_ROWS, Di) h-scratch + double-buffered x/y row tiles must fit VMEM.
+    # Gating on the actual bytes (not just Di) keeps BERT-large shapes
+    # (H=1024, Di=4096: ~16.8MB weights alone) on the XLA fallback instead
+    # of failing Mosaic compilation at runtime; H=768/Di=4096 (14.4MB,
+    # measured to fit) stays on the kernel.
+    resident = 2 * hidden * intermediate * 2  # both weights, bf16
+    scratch = _ROWS * intermediate * 2 + 2 * 2 * _ROWS * hidden * 2
     return (
         dtype == jnp.bfloat16
         and n_rows % _ROWS == 0
@@ -143,5 +151,5 @@ def supports(dtype, n_rows: int, hidden: int, intermediate: int) -> bool:
         and n_rows >= 1024
         and hidden % 128 == 0
         and intermediate % 128 == 0
-        and intermediate <= 4096  # W1+W2 + (R, Di) scratch within VMEM budget
+        and resident + scratch <= 15 * 1024 * 1024
     )
