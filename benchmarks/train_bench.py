@@ -28,15 +28,17 @@ BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 K = 10
 
 
-def main():
+def measure(batch: int = BATCH, k: int = K):
+    """Returns {"train_ips", "train_step_ms", "final_loss"} for the real
+    Trainer step at the given batch. Shared with bench.py (scored JSON)."""
     from mdhs_tpu.core.config import Config
     from mdhs_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
 
     with tempfile.TemporaryDirectory() as tmp:
         paths = generate_synthetic_dataset(
-            tmp, num_images=BATCH, num_classes=7, image_size=256
+            tmp, num_images=batch, num_classes=7, image_size=256
         )
-        cd = synthetic_config(paths, tmp, batch_size=BATCH, num_epochs=1,
+        cd = synthetic_config(paths, tmp, batch_size=batch, num_epochs=1,
                               max_length=128)
         cd["data"]["canvas"] = 256
         cd["data"]["image_size"] = 224
@@ -49,7 +51,7 @@ def main():
         trainer = Trainer(Config(cd), family="mibf",
                           output_dir=os.path.join(tmp, "run"))
         step = trainer.train_step_fn()
-        batch = trainer._device_batch(next(iter(trainer.train_loader)))
+        jbatch = trainer._device_batch(next(iter(trainer.train_loader)))
         rng = trainer.rng
 
         @jax.jit
@@ -58,25 +60,34 @@ def main():
                 new_state, metrics = step(state, batch, rng)
                 return new_state, metrics["loss"]
 
-            return jax.lax.scan(body, state, None, length=K)
+            return jax.lax.scan(body, state, None, length=k)
 
-        state, losses = chain(trainer.state, batch)  # compile + warmup
+        state, losses = chain(trainer.state, jbatch)  # compile + warmup
         np.asarray(losses)
         t0 = time.perf_counter()
-        state, losses = chain(state, batch)
+        state, losses = chain(state, jbatch)
         loss = float(np.asarray(losses)[-1])  # hard fetch closes the chain
         elapsed = time.perf_counter() - t0
 
-        ips = K * BATCH / elapsed
-        print(json.dumps({
-            "metric": "train images/sec/chip (MIBF ResNet50+BERT, fused aug+fwd+bwd+update)",
-            "value": round(ips, 1),
-            "unit": "images/sec/chip",
-            "step_ms": round(elapsed / K * 1e3, 2),
+        return {
+            "train_ips": round(k * batch / elapsed, 1),
+            "train_step_ms": round(elapsed / k * 1e3, 2),
             "final_loss": round(loss, 4),
-            "batch": BATCH,
-            "backend": jax.default_backend(),
-        }))
+            "batch": batch,
+        }
+
+
+def main():
+    r = measure()
+    print(json.dumps({
+        "metric": "train images/sec/chip (MIBF ResNet50+BERT, fused aug+fwd+bwd+update)",
+        "value": r["train_ips"],
+        "unit": "images/sec/chip",
+        "step_ms": r["train_step_ms"],
+        "final_loss": r["final_loss"],
+        "batch": r["batch"],
+        "backend": jax.default_backend(),
+    }))
 
 
 if __name__ == "__main__":

@@ -66,6 +66,26 @@ def test_rotate_3shear_matches_gather_rotation():
     assert d.mean() < 0.01, d.mean()
 
 
+def test_shear_kernel_bitexact_vs_slice_path(monkeypatch):
+    """On TPU rotate_3shear runs the Pallas sublane-shift kernel
+    (ops/shear.py); it must be BIT-exact against the dynamic-slice
+    formulation (same lerp, same clipping) — not just close."""
+    import mdhs_tpu.ops.shear as shear_mod
+    from mdhs_tpu.ops import augment
+
+    if not shear_mod.supports(jax.default_backend(), 64, 8, 8):
+        pytest.skip("kernel path not enabled on this backend")
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.random((4, 64, 64, 3)).astype(np.float32))
+    angles = jnp.asarray(rng.uniform(-0.7, 0.7, (4,)).astype(np.float32))
+
+    fast = np.asarray(augment.rotate_3shear(imgs, angles, max_degrees=45.0))
+    monkeypatch.setattr(shear_mod, "supports", lambda *a: False)
+    slow = np.asarray(augment.rotate_3shear(imgs, angles, max_degrees=45.0))
+    np.testing.assert_array_equal(fast, slow)
+
+
 def test_rotate_3shear_sign_convention():
     """+angle must rotate content the same direction as the gather path."""
     from mdhs_tpu.ops.augment import affine_grid, _bilinear_sample, rotate_3shear
