@@ -173,7 +173,8 @@ def main():
             def body(c, t):
                 def loss(p):
                     out, _ = resnet.apply(
-                        {"params": p, "batch_stats": bs}, imgs + t * 0,
+                        {"params": p, "batch_stats": bs},
+                        imgs + jnp.asarray(t, imgs.dtype) * 0,
                         train=True, mutable=["batch_stats"])
                     return out[0].astype(jnp.float32).sum()
                 g = jax.grad(loss)(params)

@@ -86,7 +86,8 @@ def gradcam(
         cam = jnp.where(mx > 0, cam / jnp.where(mx > 0, mx, 1.0), cam)
         cam = jax.image.resize(cam, (cam.shape[0], image_size, image_size), "bilinear")
         cams.append(cam)
-        layer_cams[name] = np.asarray(cam)
+        if return_layer_cams:
+            layer_cams[name] = np.asarray(cam)
     if not cams:
         raise ValueError(f"no CAM layers found among {layers}")
     avg = sum(cams) / len(cams)

@@ -682,7 +682,14 @@ def convert_connext_full(
         },
     }
     kan_state: dict = {}
-    if head == "moe" and "moe.w_gate" in sd:
+    if head == "moe":
+        # fail loudly: a missing MoE subtree would otherwise leave the head
+        # randomly initialized while the trainer logs a successful load
+        if "moe.w_gate" not in sd:
+            raise KeyError(
+                "head='moe' but no 'moe.w_gate' in the checkpoint "
+                f"(peeled keys start with: {sorted({k.split('.')[0] for k in sd})})"
+            )
         experts_p, experts_s = _convert_kan_bank(sd, "moe.experts.", moe_num_experts)
         params["moe"] = {
             "w_gate": sd["moe.w_gate"],
@@ -691,7 +698,12 @@ def convert_connext_full(
         }
         if experts_s:
             kan_state["moe"] = {"experts": experts_s}
-    elif "fc.weight" in sd:
+    else:
+        if "fc.weight" not in sd:
+            raise KeyError(
+                "head='linear' but no 'fc.weight' in the checkpoint "
+                f"(peeled keys start with: {sorted({k.split('.')[0] for k in sd})})"
+            )
         params["fc"] = _dense(sd, "fc")
     return params, {}, kan_state
 

@@ -99,6 +99,33 @@ def resize_center_square(img: np.ndarray, size: int) -> np.ndarray | None:
     return out[..., 0] if squeeze else out
 
 
+# Codepoints the C BasicTokenizer provably handles with HF semantics
+# (ASCII, Latin-1, Latin Ext-A, combining marks, Zs spaces, common
+# typographic punctuation, HF's CJK ideograph ranges). Texts containing
+# anything else (Greek/Cyrillic case folding, Latin Ext-B decompositions,
+# Zl/Zp separators, exotic Cf controls...) are routed per-call to the
+# full-unicodedata Python tokenizer so the native fast path can never
+# silently diverge from transformers.BertTokenizer.
+_SAFE_SINGLES = frozenset(
+    {0xA0, 0x1680, 0x2013, 0x2014, 0x2018, 0x2019, 0x201C, 0x201D,
+     0x2026, 0x202F, 0x205F, 0x3000, 0x3001, 0x3002}
+    | set(range(0x300C, 0x3010))  # 「」『』corner brackets (Ps/Pe)
+)
+
+
+def _native_tokenizer_safe(text: str) -> bool:
+    for ch in text:
+        cp = ord(ch)
+        if cp < 0x180 or 0x300 <= cp <= 0x36F or 0x2000 <= cp <= 0x200A:
+            continue
+        if (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+                or 0xF900 <= cp <= 0xFAFF or 0x20000 <= cp <= 0x2A6DF):
+            continue
+        if cp not in _SAFE_SINGLES:
+            return False
+    return True
+
+
 class NativeWordPiece:
     """Drop-in encode() compatible with data.tokenizer.WordPieceTokenizer."""
 
@@ -112,8 +139,22 @@ class NativeWordPiece:
             raise FileNotFoundError(vocab_path)
         self.vocab_size = lib.wp_vocab_size(self._h)
         self.pad_id = 0
+        self._vocab_path = vocab_path
+        self._lowercase = lowercase
+        self._py = None  # lazy full-fidelity fallback
+
+    def _python_fallback(self):
+        if self._py is None:
+            from ..data.tokenizer import WordPieceTokenizer
+
+            self._py = WordPieceTokenizer.from_vocab_file(
+                self._vocab_path, self._lowercase
+            )
+        return self._py
 
     def encode(self, text: str, max_length: int = 128):
+        if text and not _native_tokenizer_safe(text):
+            return self._python_fallback().encode(text, max_length)
         ids = np.empty(max_length, np.int32)
         mask = np.empty(max_length, np.int32)
         # NULs would truncate the C string at strlen; HF's _clean_text

@@ -200,13 +200,22 @@ attention_block.defvjp(_fwd, _bwd)
 
 def supports(dtype, seq_len: int, hidden: int, num_heads: int) -> bool:
     head_dim = hidden // num_heads
-    # Resident footprint: Wqkv (H, 3H) + Wo (H, H) bf16 + per-step scratch
-    # (~L*(4H) bf16 qkv/out tiles + L*L f32 scores). Gate on the actual
-    # bytes so wide-hidden configs (e.g. BERT-large H=1024: 8.4MB weights +
-    # 4MB scratch + score buffers) fall back to XLA instead of failing
-    # Mosaic compilation at runtime.
-    resident = (3 * hidden * hidden + hidden * hidden) * 2
-    scratch = 2 * (seq_len * 4 * hidden * 2) + seq_len * seq_len * 4
+    # Gate on the kernel's ACTUAL VMEM footprint (mirrors _impl's
+    # scratch_shapes) so wide-hidden configs (e.g. BERT-large H=1024 at
+    # L=256: ~18.9MB total) fall back to XLA instead of failing Mosaic
+    # compilation at runtime:
+    #   resident weights: Wqkv (H,3H) + Wo (H,H) bf16
+    #   scratch: qkv (L,3H) bf16 + scores (G*L,L) f32 + probs (G*L,L) bf16
+    #            + ctx (L,H) bf16, with G = _head_group_size(heads, L)
+    #   io: double-buffered x/out row blocks, 2 x 2 x (L,H) bf16
+    G = _head_group_size(num_heads, seq_len)
+    resident = 4 * hidden * hidden * 2
+    scratch = (
+        seq_len * 3 * hidden * 2
+        + G * seq_len * seq_len * (4 + 2)
+        + seq_len * hidden * 2
+    )
+    io = 4 * seq_len * hidden * 2
     return (
         dtype == jnp.bfloat16
         # L<=256: with Wqkv+Wo resident the L=512 scratch set exceeds the
@@ -216,5 +225,5 @@ def supports(dtype, seq_len: int, hidden: int, num_heads: int) -> bool:
         and hidden % 128 == 0
         and head_dim * num_heads == hidden
         and head_dim % 8 == 0
-        and resident + scratch <= 14 * 1024 * 1024
+        and resident + scratch + io <= 14 * 1024 * 1024
     )

@@ -160,9 +160,10 @@ def test_two_process_distributed(tmp_path):
 
     from mdhs_tpu.data.synthetic import generate_synthetic_dataset
 
-    with socket.socket() as s:  # pick a free port for the coordinator
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
 
     data_dir = str(tmp_path / "data")
     paths = generate_synthetic_dataset(data_dir, num_images=16, image_size=48)
@@ -200,27 +201,42 @@ with tempfile.TemporaryDirectory() as run:
     assert math.isfinite(loss), loss
     print("LOSS=%.9f" % loss)
 """
-    procs = []
-    logs = []
-    for rank in range(2):
-        env = _clean_env()
-        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-        env.update(
-            MASTER_ADDR="127.0.0.1", MASTER_PORT=str(port),
-            WORLD_SIZE="2", RANK=str(rank),
+    def launch(port, attempt):
+        procs = []
+        logs = []
+        for rank in range(2):
+            env = _clean_env()
+            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+            env.update(
+                MASTER_ADDR="127.0.0.1", MASTER_PORT=str(port),
+                WORLD_SIZE="2", RANK=str(rank),
+            )
+            logf = open(str(tmp_path / f"rank{rank}_a{attempt}.log"), "w+")
+            logs.append(logf)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", code, data_dir], cwd=REPO, env=env,
+                stdout=logf, stderr=subprocess.STDOUT,
+            ))
+        rcs = [p.wait(timeout=900) for p in procs]
+        outs = []
+        for logf in logs:
+            logf.seek(0)
+            outs.append(logf.read())
+            logf.close()
+        return rcs, outs
+
+    # free_port() -> use is a TOCTOU race; retry with a fresh port if the
+    # coordinator failed to bind (another process grabbed it in between)
+    for attempt in range(3):
+        rcs, outs = launch(free_port(), attempt)
+        if rcs == [0, 0]:
+            break
+        bind_race = any(
+            s in o for o in outs
+            for s in ("Address already in use", "Failed to bind", "UNAVAILABLE")
         )
-        logf = open(str(tmp_path / f"rank{rank}.log"), "w+")
-        logs.append(logf)
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", code, data_dir], cwd=REPO, env=env,
-            stdout=logf, stderr=subprocess.STDOUT,
-        ))
-    rcs = [p.wait(timeout=900) for p in procs]
-    outs = []
-    for logf in logs:
-        logf.seek(0)
-        outs.append(logf.read())
-        logf.close()
+        if not bind_race:
+            break
     assert rcs == [0, 0], f"rcs={rcs}\n--- rank0:\n{outs[0][-3000:]}\n--- rank1:\n{outs[1][-3000:]}"
     losses = []
     for o in outs:

@@ -24,6 +24,7 @@ VOCAB = [
     "un", "##aff", "##able", "##ward", "hello", "world", "cafe", "naive",
     "resume", "border", "irregular", "x", "##x", "1", "##2", "12", "中",
     "文", "斑", "skin", "der", "##mo", "##scopy", "color", "##ful",
+    "δ", "ss", "москва", "ist",
 ]
 
 TEXTS = [
@@ -41,6 +42,13 @@ TEXTS = [
     "lesions lesion le unward",
     "hello \x00 world � again",         # control/replacement chars
     "dermoscopy colorful skin " * 20,        # truncation
+    # Beyond the C tokenizer's Latin repertoire: these route NativeWordPiece
+    # to its full-unicodedata Python fallback (see native._native_tokenizer_safe)
+    "Δ hello ΔΔ",                            # Greek uppercase -> δ
+    "Москва МОСКВА hello",                   # Cyrillic case folding
+    "Ǎ ǎ hello",                             # Latin Ext-B NFD -> a
+    "hello\u2028world hello\u2029again",     # Zl/Zp: NOT whitespace in HF
+    "İstanbul hello",                        # dotted capital I (Ext-A edge)
 ]
 
 
