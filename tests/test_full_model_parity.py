@@ -23,7 +23,11 @@ def to_np(sd):
 
 
 def as_jax(tree):
-    return jax.tree_util.tree_map(jnp.asarray, tree)
+    # jnp.array (copy=True), NOT jnp.asarray: on the CPU backend asarray
+    # zero-copy-aliases numpy views of torch storage, so a later in-place
+    # torch opt.step() would silently mutate the "converted" jax params
+    # (on TPU asarray always copies, masking the hazard).
+    return jax.tree_util.tree_map(jnp.array, tree)
 
 
 # ---------------------------------------------------------------------------

@@ -353,3 +353,119 @@ def test_mibf_train_step_parity():
             np.asarray(post_j[key]), post_t[key].numpy(),
             atol=5e-3, rtol=1e-2, err_msg=f"post-step {key}",
         )
+
+
+def test_connext_train_step_parity():
+    """ConNexT family: plain CE (reference pl_model_MOE2.py:100-108, no
+    smoothing) + one SGD step through the bidirectional conv cross-attention
+    classifier (ourmodel.py:69-95). Adam itself is pinned by
+    test_optimizer_update_matches_torch; SGD isolates the model/loss
+    gradients from Adam's sign-like first step."""
+    import flax
+    from transformers import BertConfig as HFBertConfig
+    from transformers import ConvNextConfig
+
+    from test_full_model_parity import TorchOurClassifier
+
+    from mdhs_tpu.core.convert import convert_connext_full
+    from mdhs_tpu.models.bert import BertConfig
+    from mdhs_tpu.models.connext import ConNexTClassifier
+    from mdhs_tpu.models.convnext import register_convnext_variant
+    from mdhs_tpu.train.losses import ce_loss
+
+    D = 48
+    hf_cfg = HFBertConfig(
+        vocab_size=120, hidden_size=D, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    depths, dims = (2, 2, 2, 2), (16, 24, 32, 40)
+    cnx_cfg = ConvNextConfig(depths=list(depths), hidden_sizes=list(dims))
+
+    torch.manual_seed(6)
+    tm = TorchOurClassifier(hf_cfg, cnx_cfg, num_labels=7, fusion_dim=D)
+    tm.train()
+
+    B, S, L = 4, 64, 12
+    img, ids, mask, labels = _batch(6, B, S, L, 120, 7)
+    t_img, t_ids, t_mask = torch.tensor(img), torch.tensor(ids), torch.tensor(mask)
+    t_labels = torch.tensor(labels)
+
+    register_convnext_variant("parity_pico_train", depths, dims)
+    params, stats, kan_state = convert_connext_full(
+        to_np(tm.state_dict()), head="linear",
+        convnext_variant="parity_pico_train", num_bert_layers=2,
+    )
+    assert not stats and not kan_state
+    # copy out of torch storage NOW: to_np returns views and opt.step()
+    # below mutates the parameters in place
+    params = as_jax(params)
+
+    # ---- torch step
+    opt = torch.optim.SGD(tm.parameters(), lr=0.05)
+    logits_t = tm(t_img, t_ids, t_mask)
+    loss_t = tnn.CrossEntropyLoss()(logits_t, t_labels)
+    loss_t.backward()
+    grads_t, _, _ = convert_connext_full(
+        torch_grad_sd(tm), head="linear",
+        convnext_variant="parity_pico_train", num_bert_layers=2,
+    )
+    opt.step()
+
+    # ---- our step
+    bert = BertConfig(
+        vocab_size=120, hidden_size=D, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96, max_position_embeddings=64,
+        hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    model = ConNexTClassifier(
+        num_labels=7, convnext_variant="parity_pico_train", fusion_dim=D,
+        bert=bert, dtype=jnp.float32,
+    )
+    j_img = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
+    j_ids = jnp.asarray(ids.astype(np.int32))
+    j_mask = jnp.asarray(mask.astype(np.int32))
+    j_labels = jnp.asarray(labels.astype(np.int32))
+
+    init_params = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)}, j_img, j_ids, j_mask
+        )
+    )()["params"]
+    params = flax.serialization.from_state_dict(init_params, params)
+    grads_ref = flax.serialization.from_state_dict(init_params, as_jax(grads_t))
+
+    def loss_fn(p):
+        logits, _balance = model.apply({"params": p}, j_img, j_ids, j_mask, train=True)
+        return ce_loss(logits, j_labels, label_smoothing=0.0), logits
+
+    @jax.jit
+    def step(p):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, _ = optax.sgd(0.05).update(grads, optax.sgd(0.05).init(p), p)
+        return loss, logits, grads, optax.apply_updates(p, updates)
+
+    loss_j, logits_j, grads_j, new_params = step(params)
+
+    # 1. loss + pre-step train-mode logits
+    np.testing.assert_allclose(float(loss_j), float(loss_t), atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(logits_j), logits_t.detach().numpy(), atol=2e-4, rtol=1e-3
+    )
+    # 2. per-tower gradient cosine
+    for tower in ("image_encoder", "text_encoder", "reduce_conv",
+                  "textbased_cross_attention", "imagbased_cross_attention", "fc"):
+        c = flat_cos(grads_j[tower], grads_ref[tower])
+        assert c >= 0.999, f"{tower} grad cosine {c}"
+    # 3. post-step params + eval logits (no BN in ConvNeXt -> tight bound)
+    post_params, _, _ = convert_connext_full(
+        to_np(tm.state_dict()), head="linear",
+        convnext_variant="parity_pico_train", num_bert_layers=2,
+    )
+    post_params = flax.serialization.from_state_dict(init_params, as_jax(post_params))
+    assert tree_max_delta(new_params, post_params) < 5e-6
+    tm.eval()
+    with torch.no_grad():
+        post_t = tm(t_img, t_ids, t_mask).numpy()
+    post_j, _ = model.apply({"params": new_params}, j_img, j_ids, j_mask)
+    np.testing.assert_allclose(np.asarray(post_j), post_t, atol=5e-4, rtol=1e-3)
