@@ -189,6 +189,10 @@ with open(os.path.join(data_dir, "paths.json")) as f:
     paths = json.load(f)
 with tempfile.TemporaryDirectory() as run:
     cd = synthetic_config(paths, run, batch_size=8, num_epochs=1, max_length=16)
+    # mixed {data:4, model:2} mesh over 2 processes x 4 devices: DP grad
+    # psums cross the process boundary while TP all-gathers stay host-local
+    # (the production multi-host layout, mesh.py reshape order)
+    cd["parallel"] = {"n_model": 2}
     cd["data"]["canvas"] = 56
     cd["data"]["image_size"] = 48
     tr = Trainer(Config(cd), family="baseline",
