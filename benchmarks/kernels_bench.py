@@ -84,6 +84,27 @@ def bench_kan_forward():
     }))
 
 
+def bench_bn_stats():
+    from mdhs_tpu.ops.bn_stats import bn_stats, bn_stats_reference
+
+    for shape in [(128, 112, 112, 64), (128, 28, 28, 512)]:
+        x = (jax.random.normal(jax.random.PRNGKey(0), shape) * 2 + 3).astype(
+            jnp.bfloat16
+        )
+        fn = lambda x: jnp.concatenate(bn_stats(x))
+        ref = lambda x: jnp.concatenate(
+            [a for a in bn_stats_reference(x)]
+        )
+        pl_ms = timed_chain(fn, x)
+        xla_ms = timed_chain(ref, x)
+        print(json.dumps({
+            "kernel": f"bn_stats {'x'.join(map(str, shape))}",
+            "pallas_ms": round(pl_ms, 4), "xla_ms": round(xla_ms, 4),
+            "speedup": round(xla_ms / pl_ms, 2),
+        }))
+
+
 if __name__ == "__main__":
     bench_selective_scan()
     bench_kan_forward()
+    bench_bn_stats()

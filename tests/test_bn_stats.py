@@ -1,0 +1,105 @@
+"""ops/bn_stats.py: one-HBM-pass BatchNorm statistics kernel.
+
+Differential vs the XLA two-pass reference (the exact formulation
+models/norm.py uses on the fallback path) for values and gradients. On
+non-TPU backends the kernel runs in Pallas interpret mode; on TPU it
+exercises the real Mosaic lowering at ResNet50-shaped blocks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mdhs_tpu.ops.bn_stats as bns
+
+
+@pytest.fixture(autouse=True)
+def _interpret_on_cpu(monkeypatch):
+    if jax.default_backend() != "tpu":
+        monkeypatch.setattr(bns, "_INTERPRET", True)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (128, 14, 14, 256),  # resnet50 layer3-ish
+        (16, 28, 28, 64),    # C=64 (sub-lane-width channels)
+        (8, 56, 56, 512),
+    ],
+)
+def test_bn_stats_matches_two_pass(shape):
+    rng = np.random.default_rng(0)
+    # offset mean + non-unit variance: the regime where E[x^2]-mu^2 cancels
+    x = jnp.asarray((rng.normal(size=shape) * 3.0 + 5.0).astype(np.float32))
+    m, v = jax.jit(bns.bn_stats)(x)
+    mr, vr = bns.bn_stats_reference(x)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(mr), rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr), rtol=2e-5, atol=1e-4)
+
+
+def test_bn_stats_bf16_input():
+    rng = np.random.default_rng(1)
+    x32 = (rng.normal(size=(64, 16, 16, 128)) * 2 + 1).astype(np.float32)
+    x = jnp.asarray(x32).astype(jnp.bfloat16)
+    m, v = jax.jit(bns.bn_stats)(x)
+    mr, vr = bns.bn_stats_reference(x)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(mr), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr), rtol=1e-4, atol=1e-4)
+
+
+def test_bn_stats_gradients_match_reference():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(32, 8, 8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+
+    def loss(fn, x):
+        m, v = fn(x)
+        return jnp.sum(w * m) + jnp.sum(jnp.sqrt(v + 1e-5))
+
+    gk = jax.grad(lambda x: loss(bns.bn_stats, x))(x)
+    gr = jax.grad(lambda x: loss(bns.bn_stats_reference, x))(x)
+    scale = float(jnp.abs(gr).max())
+    np.testing.assert_allclose(
+        np.asarray(gk), np.asarray(gr), atol=1e-5 * max(scale, 1.0), rtol=1e-4
+    )
+
+
+def test_supports_gate():
+    # too small
+    assert not bns.supports((4, 32, 32, 64), jnp.bfloat16)
+    # resnet50 stem at batch 128
+    assert bns.supports((128, 112, 112, 64), jnp.bfloat16)
+    # odd channel count
+    assert not bns.supports((128, 112, 112, 63), jnp.bfloat16)
+    # f64 not supported
+    assert not bns.supports((128, 112, 112, 64), jnp.float64)
+
+
+def test_torch_batchnorm_uses_kernel_consistently(monkeypatch):
+    """TorchBatchNorm output must be (numerically) identical whether the
+    stats come from the kernel or the two-pass fallback."""
+    from mdhs_tpu.models.norm import TorchBatchNorm
+
+    monkeypatch.setattr(bns, "ENABLED", True)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.normal(size=(64, 16, 16, 64)) * 2 + 3).astype(np.float32))
+    bn = TorchBatchNorm(use_running_average=False)
+    variables = bn.init(jax.random.PRNGKey(0), x)
+
+    y1, s1 = bn.apply(variables, x, mutable=["batch_stats"])
+    # force the fallback path
+    orig = bns.supports
+    try:
+        bns.supports = lambda *a: False
+        y2, s2 = bn.apply(variables, x, mutable=["batch_stats"])
+    finally:
+        bns.supports = orig
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(s1["batch_stats"][k]),
+            np.asarray(s2["batch_stats"][k]),
+            rtol=1e-5, atol=1e-6,
+        )
