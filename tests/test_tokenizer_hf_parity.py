@@ -49,6 +49,9 @@ TEXTS = [
     "Ǎ ǎ hello",                             # Latin Ext-B NFD -> a
     "hello\u2028world hello\u2029again",     # Zl/Zp: NOT whitespace in HF
     "İstanbul hello",                        # dotted capital I (Ext-A edge)
+    "cafe\u0301 nai\u0308ve",                # DECOMPOSED accents (NFD input)
+    "\u2126hm hello \u212bngstrom",          # OHM/ANGSTROM compatibility chars
+    "hello\u00a0world\u2009again",           # NBSP + thin space (Zs)
 ]
 
 
