@@ -24,6 +24,17 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def data_axis_size(batch_size: int, n_avail: int) -> int:
+    """Largest d <= n_avail that divides the batch.
+
+    Plain gcd undershoots (batch 6 on 4 devices should use 3, not gcd=2);
+    a batch that doesn't divide across every device runs on the largest
+    subset it does divide across (torch DataParallel can't split batch 4
+    over 8 GPUs either), leftover devices idle.
+    """
+    return max((d for d in range(1, n_avail + 1) if batch_size % d == 0), default=1)
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

@@ -44,7 +44,13 @@ from ..models.mibf import MIBFNet
 from ..ops.augment import train_pipeline
 from ..ops.preprocess import eval_pipeline
 from ..ops.stain_norm import stain_normalize
-from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from ..parallel.mesh import (
+    batch_sharding,
+    data_axis_size,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
 from ..utils.logging import MetricWriter, setup_logging, setup_run_dir
 from .losses import (
     ce_loss,
@@ -162,11 +168,7 @@ class Trainer:
             )
         n_avail = len(jax.devices()) // n_model
         batch_sz = int(cfg.get("training.batch_size", 32))
-        # largest d <= n_avail that divides the batch (gcd can undershoot:
-        # batch 6 on 4 devices should use 3, not gcd=2)
-        n_data = max(
-            (d for d in range(1, n_avail + 1) if batch_sz % d == 0), default=1
-        )
+        n_data = data_axis_size(batch_sz, n_avail)
         self.mesh = make_mesh(
             n_data=n_data, n_model=n_model,
             devices=jax.devices()[: n_data * n_model],

@@ -248,3 +248,17 @@ with tempfile.TemporaryDirectory() as run:
         assert line, o[-2000:]
         losses.append(float(line[-1].split("=")[1]))
     assert losses[0] == losses[1], losses
+
+
+def test_data_axis_size():
+    """Mesh sizing: largest divisor <= available, not gcd (which can
+    undershoot), with graceful degradation to 1."""
+    from mdhs_tpu.parallel.mesh import data_axis_size
+
+    assert data_axis_size(6, 4) == 3       # gcd(6,4)=2 would waste a device
+    assert data_axis_size(8, 8) == 8
+    assert data_axis_size(8, 5) == 4
+    assert data_axis_size(7, 4) == 1       # prime batch: single device
+    assert data_axis_size(128, 8) == 8
+    assert data_axis_size(4, 8) == 4       # batch smaller than devices
+    assert data_axis_size(1, 8) == 1
