@@ -13,6 +13,11 @@ import pytest
 from mdhs_tpu.ops.fused_attention import attention_reference, fused_attention, supports
 from mdhs_tpu.ops.gelu import exact_gelu, gelu_exact_fast
 
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="Mosaic kernel lowering needs the TPU backend (no interpret fallback here)",
+)
+
 B, L, H, D = 4, 128, 12, 64
 HD = H * D
 SCALE = float(D) ** -0.5
@@ -29,6 +34,7 @@ def _qkvb(seed=0):
     return q, k, v, bias
 
 
+@requires_tpu
 @pytest.mark.parametrize("seq_len", [128, 256, 512])
 def test_fused_attention_matches_reference(seq_len):
     # 512 exercises the head-grouped scratch path (whole-heads scratch
@@ -48,6 +54,7 @@ def test_fused_attention_matches_reference(seq_len):
     assert float(jnp.abs(out - ref).mean()) < 2e-3
 
 
+@requires_tpu
 def test_fused_attention_grad_works():
     q, k, v, bias = _qkvb(1)
 
@@ -98,6 +105,7 @@ def test_bert_auto_impl_matches_xla():
     assert float(d.mean()) < 0.01
 
 
+@requires_tpu
 def test_attention_block_matches_reference():
     from mdhs_tpu.ops.attention_block import attention_block, attention_block_reference
 
@@ -125,6 +133,7 @@ def test_attention_block_matches_reference():
     assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
 
 
+@requires_tpu
 def test_ffn_block_matches_reference():
     from mdhs_tpu.ops.ffn_block import ffn_block, ffn_block_reference, supports
 
