@@ -92,9 +92,7 @@ def bench_bn_stats():
             jnp.bfloat16
         )
         fn = lambda x: jnp.concatenate(bn_stats(x))
-        ref = lambda x: jnp.concatenate(
-            [a for a in bn_stats_reference(x)]
-        )
+        ref = lambda x: jnp.concatenate(bn_stats_reference(x))
         pl_ms = timed_chain(fn, x)
         xla_ms = timed_chain(ref, x)
         print(json.dumps({

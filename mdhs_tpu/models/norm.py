@@ -56,25 +56,21 @@ class TorchBatchNorm(nn.Module):
         else:
             from ..ops import bn_stats as _bns
 
-            if (
-                _bns.ENABLED
-                and jax.default_backend() == "tpu"
-                and _bns.supports(x.shape, x.dtype)
-            ):
+            axes = tuple(range(x.ndim - 1))
+            if _bns.use_kernel(x.shape, x.dtype):
                 # one-HBM-pass Chan-combined statistics (ops/bn_stats.py):
                 # numerically ~1 ulp from the two-pass result, saves a full
                 # read of every large BN input per training step
                 mean, var = _bns.bn_stats(x)
             else:
-                x32 = x.astype(jnp.float32)
-                axes = tuple(range(x.ndim - 1))
-                mean = jnp.mean(x32, axis=axes)
                 # biased variance for normalization (torch & flax agree on
                 # the value). Two-pass E[(x-mu)^2] like torch — NOT flax's
                 # E[x^2]-mu^2, whose cancellation noise visibly accumulates
                 # through deep BN stacks (measured ~2% grad error at the
                 # resnet50 stem in the one-step training differential).
-                var = jnp.mean(jnp.square(x32 - mean), axis=axes)
+                # Kept in sync with ops/bn_stats.bn_stats_reference (the
+                # oracle the kernel differential tests compare against).
+                mean, var = _bns.bn_stats_reference(x)
             if not self.is_initializing():
                 n = 1
                 for ax in axes:

@@ -40,14 +40,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bn_stats", "bn_stats_reference", "supports"]
+__all__ = ["bn_stats", "bn_stats_reference", "supports", "use_kernel"]
 
 _VMEM_BLOCK_ELEMS = 1 << 19  # 512k elements/block: <=2MB bf16 in, 2MB f32 local
 _INTERPRET = False  # tests: run the kernel in Pallas interpret mode on CPU
-# Production gate (consulted by models/norm.py alongside supports()).
+# Production gate (consulted by models/norm.py via use_kernel()).
 # Currently OFF pending on-chip Mosaic/speed validation — flip after
-# measuring with /tmp-style bn_tpu_check + train_profile on the real chip.
+# measuring with benchmarks/bn_stats_check.py + train_profile on the real
+# chip. NOTE: single-device scope only — under a data-sharded jit mesh,
+# GSPMD treats the pallas_call as replicated and would all-gather the BN
+# input (far exceeding the saved HBM pass); the trainer-side knob must not
+# enable it when mesh.size > 1 (a shard_map wrapper with a psum'd Chan
+# combine is the multi-device path if ever needed).
 ENABLED = False
+
+
+def use_kernel(x_shape, dtype) -> bool:
+    """The full production gate: ENABLED flag, a backend that can run the
+    kernel (real TPU, or any backend in interpret mode so tests exercise
+    the same routing), and shape eligibility."""
+    if not ENABLED:
+        return False
+    if not (_INTERPRET or jax.default_backend() == "tpu"):
+        return False
+    return supports(x_shape, dtype)
 
 
 def _row_block(n_rows: int, cols: int) -> int:
@@ -93,6 +109,11 @@ def _kernel(x_ref, mean_ref, var_ref, acc_mean, acc_m2, *, rb: int, n_total: int
 def _impl(x2d):
     R, C = x2d.shape
     rb = _row_block(R, C)
+    if rb == 0:
+        raise ValueError(
+            f"bn_stats: row count {R} has no multiple-of-8 block divisor "
+            f"under the VMEM budget (cols={C}); gate callers on supports()"
+        )
     kernel = functools.partial(_kernel, rb=rb, n_total=R)
     mean, var = pl.pallas_call(
         kernel,

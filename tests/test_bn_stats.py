@@ -85,17 +85,16 @@ def test_torch_batchnorm_uses_kernel_consistently(monkeypatch):
 
     rng = np.random.default_rng(3)
     x = jnp.asarray((rng.normal(size=(64, 16, 16, 64)) * 2 + 3).astype(np.float32))
+    # the gate must actually route this shape to the kernel (interpret mode
+    # on CPU counts as a runnable backend) — otherwise this test is vacuous
+    assert bns.use_kernel(x.shape, x.dtype)
     bn = TorchBatchNorm(use_running_average=False)
     variables = bn.init(jax.random.PRNGKey(0), x)
 
     y1, s1 = bn.apply(variables, x, mutable=["batch_stats"])
     # force the fallback path
-    orig = bns.supports
-    try:
-        bns.supports = lambda *a: False
-        y2, s2 = bn.apply(variables, x, mutable=["batch_stats"])
-    finally:
-        bns.supports = orig
+    monkeypatch.setattr(bns, "use_kernel", lambda *a: False)
+    y2, s2 = bn.apply(variables, x, mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-5)
     for k in ("mean", "var"):
         np.testing.assert_allclose(
