@@ -235,11 +235,18 @@ with tempfile.TemporaryDirectory() as run:
         rcs, outs = launch(free_port(), attempt)
         if rcs == [0, 0]:
             break
-        bind_race = any(
+        transient = any(
             s in o for o in outs
-            for s in ("Address already in use", "Failed to bind", "UNAVAILABLE")
+            for s in (
+                "Address already in use", "Failed to bind", "UNAVAILABLE",
+                # Gloo pairs connect at the first collective; on a loaded
+                # single-core host one rank can still be inside its XLA
+                # compile when the peer's connect timeout (30s) expires
+                "Gloo context initialization failed",
+                "Connect timeout",
+            )
         )
-        if not bind_race:
+        if not transient:
             break
     assert rcs == [0, 0], f"rcs={rcs}\n--- rank0:\n{outs[0][-3000:]}\n--- rank1:\n{outs[1][-3000:]}"
     losses = []
