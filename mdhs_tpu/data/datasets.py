@@ -71,13 +71,17 @@ def clean_cjk(text: str) -> str:
     return re.sub(r"[一-鿿　-〿＀-￯]", "", text or "").strip()
 
 
-def neighbor_name(image_id: str, offset: int) -> str:
+def neighbor_name(image_id: str, offset: int, pad: bool = False) -> str:
     """Neighbor slice filename by numeric index offset.
 
     Reference semantics (data_loader.py:211-223): shift the trailing number
     before the extension, clamped at 0. (The reference's regex is written
     with doubled backslashes and never matches; we implement the documented
-    intent.)
+    intent.) The reference formats the shifted index as a plain int, which
+    drops zero padding ('slice_007.png' + 1 -> 'slice_8.png'); pad=True
+    preserves the original digit width instead — the dataset tries the
+    reference-intent name first and the padded form as a fallback before
+    degrading to the center slice.
     """
     if offset == 0:
         return image_id
@@ -88,6 +92,8 @@ def neighbor_name(image_id: str, offset: int) -> str:
         return image_id
     prefix, idx_str, suffix = m.groups()
     idx = max(0, int(idx_str) + offset)
+    if pad:
+        return f"{prefix}{idx:0{len(idx_str)}d}{suffix}"
     return f"{prefix}{idx}{suffix}"
 
 
@@ -150,27 +156,32 @@ def build_tabular_map(metadata_csv: str, fields, normalize: str = "zscore"):
         category_maps[f_] = vals
 
     dim = len(numeric_fields) + sum(len(v) for v in category_maps.values())
-    table = {}
-    for _, row in df.iterrows():
-        feats = []
-        for f_ in numeric_fields:
-            import pandas as pd  # local for to_numeric on scalars
-
-            val = pd.to_numeric(row.get(f_), errors="coerce")
-            mean, std = numeric_stats[f_]
-            if val is None or (isinstance(val, float) and np.isnan(val)):
-                val = mean
-            feats.append((val - mean) / std if normalize == "zscore" else float(val))
-        for f_ in categorical_fields:
-            cats = category_maps[f_]
-            val = row.get(f_)
-            val = "unknown" if (val is None or (isinstance(val, float) and np.isnan(val))) else str(val)
-            if val not in cats:
-                val = "unknown"
-            onehot = [0.0] * len(cats)
-            onehot[cats.index(val)] = 1.0
-            feats.extend(onehot)
-        table[row["image_id_base"]] = np.asarray(feats, np.float32)
+    # column-vectorized assembly (the per-row/per-cell python loop cost
+    # seconds per Trainer construction on HAM10k-scale CSVs)
+    n = len(df)
+    blocks = []
+    for f_ in numeric_fields:
+        vals = pd.to_numeric(df[f_], errors="coerce")
+        mean, std = numeric_stats[f_]
+        vals = vals.fillna(mean).to_numpy(np.float64)
+        col = (vals - mean) / std if normalize == "zscore" else vals
+        blocks.append(col.reshape(n, 1))
+    for f_ in categorical_fields:
+        cats = category_maps[f_]
+        cat_idx = {c: i for i, c in enumerate(cats)}
+        unk = cat_idx["unknown"]
+        raw = df[f_]
+        idx = np.asarray(
+            [unk if pd.isna(v) else cat_idx.get(str(v), unk) for v in raw],
+            np.intp,
+        )
+        blocks.append(np.eye(len(cats), dtype=np.float64)[idx])
+    mat = (
+        np.concatenate(blocks, axis=1).astype(np.float32)
+        if blocks
+        else np.zeros((n, 0), np.float32)
+    )
+    table = dict(zip(df["image_id_base"].tolist(), mat))
     return table, dim
 
 
@@ -277,6 +288,19 @@ class MultimodalDataset:
                 return p
         return None
 
+    def _neighbor(self, image_id: str, offset: int) -> str:
+        """Resolve a neighbor-slice id: reference-intent name, then the
+        zero-padding-preserving form, then the center slice (the reference
+        falls back to the center image when a neighbor is missing,
+        data_loader.py:230-232)."""
+        nid = neighbor_name(image_id, offset)
+        if self._find_image(nid) is not None:
+            return nid
+        padded = neighbor_name(image_id, offset, pad=True)
+        if self._find_image(padded) is not None:
+            return padded
+        return image_id
+
     def _load_augmented(self, image_id: str, mode: str = "RGB") -> np.ndarray:
         """Host-augmented image at image_size (torchvision-exact path)."""
         from .augment_host import host_train_transform
@@ -329,18 +353,14 @@ class MultimodalDataset:
             elif o.sequence:
                 slices = []
                 for off in o.sequence_offsets:
-                    nid = neighbor_name(image_id, off)
-                    if self._find_image(nid) is None:
-                        nid = image_id
-                    slices.append(self._load_canvas(nid))
+                    slices.append(self._load_canvas(self._neighbor(image_id, off)))
                 image = np.stack(slices, axis=0)  # (T, S, S, 3)
             elif o.pseudo_2p5d:
                 slices = []
                 for off in o.pseudo_offsets:
-                    nid = neighbor_name(image_id, off)
-                    if self._find_image(nid) is None:
-                        nid = image_id
-                    slices.append(self._load_canvas(nid, mode="L"))
+                    slices.append(
+                        self._load_canvas(self._neighbor(image_id, off), mode="L")
+                    )
                 image = np.stack(slices, axis=2)  # (S, S, 3) grayscale stack as RGB
             else:
                 image = self._load_canvas(image_id)

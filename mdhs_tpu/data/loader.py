@@ -62,7 +62,6 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
-        self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -80,7 +79,6 @@ class DataLoader:
         return idx
 
     def __iter__(self) -> Iterator[dict]:
-        self._epoch += 1
         idx = self._indices()
         n = len(idx)
         bs = self.batch_size
@@ -106,23 +104,41 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         DONE = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # epoch (break / exception mid-iteration) — otherwise the
+            # worker would block on the full queue forever, leaking the
+            # thread and prefetch+1 decoded batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             # A mid-epoch dataset failure must surface in the consumer, not
             # silently truncate the epoch: ship the exception over the queue.
             try:
                 for b in gen():
-                    q.put(b)
-                q.put(DONE)
+                    if not put(b):
+                        return
+                put(DONE)
             except BaseException as exc:  # noqa: BLE001 - re-raised below
-                q.put(exc)
+                put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            b = q.get()
-            if b is DONE:
-                break
-            if isinstance(b, BaseException):
-                raise b
-            yield b
+        try:
+            while True:
+                b = q.get()
+                if b is DONE:
+                    break
+                if isinstance(b, BaseException):
+                    raise b
+                yield b
+        finally:
+            stop.set()

@@ -20,11 +20,9 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-import math
 import os
 import time
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax
 import jax
@@ -41,11 +39,9 @@ from ..models.baseline import BaselineConfig, MultimodalBaselineModel
 from ..models.bert import BertConfig
 from ..models.connext import ConNexTClassifier
 from ..models.mibf import MIBFNet
-from ..ops.augment import train_pipeline
 from ..ops.preprocess import eval_pipeline
 from ..ops.stain_norm import stain_normalize
 from ..parallel.mesh import (
-    batch_sharding,
     data_axis_size,
     make_mesh,
     replicated,
@@ -190,7 +186,11 @@ class Trainer:
         if setup_data:
             self.train_loader = self._make_loader("train")
             self.val_loader = self._make_loader("val")
-            tabular_dim = getattr(self.train_loader.dataset, "tabular_dim", 0)
+        # eval-only configs may have no train split; take the width from any
+        # loader that exists, else from the metadata CSV directly
+        _src = self.train_loader or self.val_loader
+        if _src is not None:
+            tabular_dim = getattr(_src.dataset, "tabular_dim", 0)
         elif cfg.get("model.tabular.enabled", False) and cfg.get("data.metadata_csv"):
             # predict/eval-only construction still needs the tabular width
             # (reference wires it from the test loader, scripts/predict.py:103)
@@ -262,9 +262,6 @@ class Trainer:
         if resume:
             self.load_weights(resume)
 
-        self._train_step = None
-        self._eval_step = None
-
     # ------------------------------------------------------------------
     def _make_loader(self, split: str):
         cfg = self.cfg
@@ -324,9 +321,11 @@ class Trainer:
             max_length=cfg.get("tokenizer.max_length", 128),
             tabular_enabled=bool(cfg.get("model.tabular.enabled", False)),
             tabular_fields=tuple(cfg.get("model.tabular.fields", ["age", "sex", "localization"]) or []),
+            tabular_normalize=cfg.get("model.tabular.normalize", "zscore"),
             metadata_csv=d.get("metadata_csv"),
             extra_image_dirs=tuple(d.get("extra_image_dirs", []) or []),
             pseudo_2p5d=bool(d.get("pseudo_2p5d.enabled", False)),
+            pseudo_offsets=tuple(d.get("pseudo_2p5d.offsets", [-1, 0, 1]) or []),
             sequence=bool(d.get("sequence.enabled", False)),
             sequence_offsets=tuple(d.get("sequence.offsets", [-2, -1, 0, 1, 2]) or []),
             multi_view=bool(d.get("multi_view.enabled", False)),
@@ -357,9 +356,11 @@ class Trainer:
         seq = bool(self.cfg.get("data.sequence.enabled", False)) or bool(
             self.cfg.get("data.multi_view.enabled", False)
         )
-        T = len(self.cfg.get("data.sequence.offsets", [-2, -1, 0, 1, 2]) or []) if self.cfg.get(
-            "data.sequence.enabled", False
-        ) else int(self.cfg.get("data.multi_view.num_views", 2))
+        # mode precedence matches MultimodalDataset.__getitem__ (and the
+        # reference data_loader.py:270-280): multi_view wins over sequence
+        T = int(self.cfg.get("data.multi_view.num_views", 2)) if self.cfg.get(
+            "data.multi_view.enabled", False
+        ) else len(self.cfg.get("data.sequence.offsets", [-2, -1, 0, 1, 2]) or [])
         img_shape = (B, T, S, S, 3) if seq else (B, S, S, 3)
         batch = {
             "image": np.zeros(img_shape, np.uint8),
@@ -499,21 +500,38 @@ class Trainer:
         return v
 
     # ------------------------------------------------------------------
-    def _criterion(self, logits, labels):
+    def _criterion(self, logits, labels, sample_mask=None):
         """The configured training criterion — validation must use the same
         loss as training (reference scripts/train.py:117 passes the
         criterion object into validate; pl_model_MOE2.py shares self.loss)."""
         if self.family == "connext":
-            return ce_loss(logits, labels, label_smoothing=0.0, class_weights=self.class_weights)
+            return ce_loss(logits, labels, label_smoothing=0.0,
+                           class_weights=self.class_weights, sample_mask=sample_mask)
         if self.loss_type == "focal":
             return focal_loss(
-                logits, labels, gamma=self.focal_gamma, class_weights=self.class_weights
+                logits, labels, gamma=self.focal_gamma,
+                class_weights=self.class_weights, sample_mask=sample_mask,
             )
         return ce_loss(
             logits, labels,
             label_smoothing=self.label_smoothing,
             class_weights=self.class_weights,
+            sample_mask=sample_mask,
         )
+
+    @staticmethod
+    def _valid_mask(batch, labels):
+        """0/1 row mask from the loader's n_valid: the padded tail rows of a
+        short last batch (loader.py pads by repeating the first record) must
+        not contribute to loss, gradients, or metrics — torch drop_last=False
+        trains on the true short batch. Padded rows still pass through the
+        forward (static shapes), so train-mode BN batch statistics and the
+        MoE balance loss see them on that one step; the gradient and metric
+        surfaces do not."""
+        nv = batch.get("n_valid")
+        if nv is None:
+            return None
+        return (jnp.arange(labels.shape[0]) < nv).astype(jnp.float32)
 
     def _loss_fn(self, params, batch_stats, kan_state, batch, images, rng):
         variables = {"params": params}
@@ -523,6 +541,7 @@ class Trainer:
             variables["kan_state"] = kan_state
         rngs = {"dropout": rng, "gating": rng}
         labels = batch["label"]
+        valid = self._valid_mask(batch, labels)
         mutable = (["batch_stats"] if batch_stats else []) + ["aux_loss"]
 
         if self.family == "baseline":
@@ -541,11 +560,13 @@ class Trainer:
                 method=self.model.features_and_logits,
             )
             if self.supcon_enabled and self.supcon_stage == "pretrain":
-                loss = supcon_loss(feats, labels, self.supcon_temp)
+                loss = supcon_loss(feats, labels, self.supcon_temp, sample_mask=valid)
             else:
-                loss = self._criterion(logits, labels)
+                loss = self._criterion(logits, labels, sample_mask=valid)
                 if self.supcon_enabled and self.supcon_stage == "finetune":
-                    loss = loss + self.supcon_weight * supcon_loss(feats, labels, self.supcon_temp)
+                    loss = loss + self.supcon_weight * supcon_loss(
+                        feats, labels, self.supcon_temp, sample_mask=valid
+                    )
             aux = new_vars.get("aux_loss", {})
             for leaf in jax.tree_util.tree_leaves(aux):
                 loss = loss + self.balance_weight * jnp.sum(leaf)
@@ -562,7 +583,7 @@ class Trainer:
                 rngs=rngs,
                 mutable=mutable,
             )
-            loss = mibf_loss(outputs, labels, self.mibf_loss_class)
+            loss = mibf_loss(outputs, labels, self.mibf_loss_class, sample_mask=valid)
             return loss, (new_vars, outputs["image_text"])
 
         # connext
@@ -578,7 +599,8 @@ class Trainer:
             rngs=rngs,
             mutable=mutable,
         )
-        loss = ce_loss(logits, labels, label_smoothing=0.0, class_weights=self.class_weights)
+        loss = ce_loss(logits, labels, label_smoothing=0.0,
+                       class_weights=self.class_weights, sample_mask=valid)
         loss = loss + self.balance_weight * balance
         return loss, (new_vars, logits)
 
@@ -611,7 +633,12 @@ class Trainer:
                 batch_stats=new_vars.get("batch_stats", state.batch_stats),
                 opt_state=opt_state,
             )
-            acc = (logits.argmax(-1) == batch["label"]).mean()
+            hits = (logits.argmax(-1) == batch["label"]).astype(jnp.float32)
+            valid = self._valid_mask(batch, batch["label"])
+            if valid is None:
+                acc = hits.mean()
+            else:
+                acc = (hits * valid).sum() / jnp.maximum(valid.sum(), 1.0)
             return new_state, {"loss": loss, "accuracy": acc}
 
         return jax.jit(step, donate_argnums=(0,))
@@ -668,9 +695,11 @@ class Trainer:
         return jax.jit(step)
 
     def _val_step_fn(self):
-        """Jitted validation forward. For MIBF returns the full outputs dict
-        (MP-Loss needs all three heads, mibf_net/train_resnet.py:53); other
-        families return logits."""
+        """Jitted validation step: forward + the TRAINING criterion + hit
+        count, all on device in one dispatch (op-by-op host loss math costs
+        ~30-40 ms per dispatch through the TPU relay). For MIBF the loss is
+        the full MP-Loss over all three heads (mibf_net/train_resnet.py:53);
+        padded tail rows are masked out (loader n_valid)."""
 
         def step(state: TrainState, batch):
             variables = {"params": state.params}
@@ -679,22 +708,31 @@ class Trainer:
             if state.kan_state:
                 variables["kan_state"] = state.kan_state
             images = self._preprocess_eval(batch["image"])
+            labels = batch["label"]
+            valid = self._valid_mask(batch, labels)
             if self.family == "mibf":
-                return self.model.apply(
+                out = self.model.apply(
                     variables, images, batch["input_ids"], batch["attention_mask"]
                 )
-            if self.family == "baseline":
-                return self.model.apply(
-                    variables, images, batch["input_ids"], batch["attention_mask"],
-                    tabular_input=batch.get("tabular"),
-                    ablation_mode=self.ablation_mode,
-                )
-            logits, _ = self.model.apply(
-                variables, images, batch["input_ids"], batch["attention_mask"],
-                first_hidden=batch.get("first_hidden"),
-                last_hidden=batch.get("last_hidden"),
-            )
-            return logits
+                loss = mibf_loss(out, labels, self.mibf_loss_class, sample_mask=valid)
+                logits = out["image_text"]
+            else:
+                if self.family == "baseline":
+                    logits = self.model.apply(
+                        variables, images, batch["input_ids"], batch["attention_mask"],
+                        tabular_input=batch.get("tabular"),
+                        ablation_mode=self.ablation_mode,
+                    )
+                else:
+                    logits, _ = self.model.apply(
+                        variables, images, batch["input_ids"], batch["attention_mask"],
+                        first_hidden=batch.get("first_hidden"),
+                        last_hidden=batch.get("last_hidden"),
+                    )
+                loss = self._criterion(logits, labels, sample_mask=valid)
+            hits = (logits.argmax(-1) == labels).astype(jnp.float32)
+            correct = hits.sum() if valid is None else (hits * valid).sum()
+            return loss, correct
 
         return jax.jit(step)
 
@@ -712,23 +750,11 @@ class Trainer:
         n_batches = 0
         for batch in self.val_loader:
             jb = self._device_batch(batch)
-            out = val_step(self.state, jb)
-            n_valid = int(batch["n_valid"])
-            labels = np.asarray(batch["label"][:n_valid])
-            if self.family == "mibf":
-                out_np = {
-                    k: jnp.asarray(np.asarray(v, np.float32)[:n_valid])
-                    for k, v in out.items()
-                }
-                loss = float(mibf_loss(out_np, jnp.asarray(labels), self.mibf_loss_class))
-                lg = np.asarray(out_np["image_text"], np.float32)
-            else:
-                lg = np.asarray(out[:n_valid], np.float32)
-                loss = float(self._criterion(jnp.asarray(lg), jnp.asarray(labels)))
-            total_loss += loss
+            loss, hits = val_step(self.state, jb)
+            total_loss += float(loss)
+            correct += int(hits)
+            total += int(batch["n_valid"])
             n_batches += 1
-            correct += int((lg.argmax(-1) == labels).sum())
-            total += n_valid
         return total_loss / max(1, n_batches), 100.0 * correct / max(1, total)
 
     def log_validation_report(self, eval_step, epoch: int):
@@ -1058,7 +1084,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self):
         train_step = self.train_step_fn()
-        eval_step = self.eval_step_fn()
+        # the per-class report must evaluate the same (possibly ablated)
+        # model as validate()/_val_step_fn — not the un-ablated default
+        eval_step = self.eval_step_fn(ablation_mode=self.ablation_mode)
         rng = self.rng
         global_step = 0
         prof_cfg = self.cfg.get("training.profile", {})
