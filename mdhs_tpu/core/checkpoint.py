@@ -85,6 +85,19 @@ class TopKCheckpointManager:
         self.prefix = prefix
         self.entries: list[tuple[float, str]] = []  # (metric, path), best first
         os.makedirs(output_dir, exist_ok=True)
+        # resume into the same run dir: reload the index so retention keeps
+        # evicting across restarts and best_path() sees pre-restart saves
+        idx = os.path.join(output_dir, "checkpoints.json")
+        if os.path.exists(idx):
+            try:
+                with open(idx) as f:
+                    for e in json.load(f):
+                        p = os.path.join(output_dir, e["path"])
+                        if os.path.exists(p):
+                            self.entries.append((float(e["metric"]), p))
+                self.entries.sort(key=lambda e: e[0], reverse=True)
+            except (ValueError, KeyError) as exc:
+                log.warning("ignoring unreadable checkpoints.json: %s", exc)
 
     def maybe_save(self, epoch: int, metric: float, state: dict) -> Optional[str]:
         is_topk = len(self.entries) < self.k or metric > min(e[0] for e in self.entries)
@@ -94,7 +107,7 @@ class TopKCheckpointManager:
             self.output_dir, f"{self.prefix}_{epoch}_val_acc_{metric:.2f}.msgpack"
         )
         save_checkpoint(path, state)
-        if len(self.entries) == self.k:
+        while len(self.entries) >= self.k:
             worst = min(self.entries, key=lambda e: e[0])
             if os.path.exists(worst[1]):
                 os.remove(worst[1])
@@ -114,5 +127,8 @@ class TopKCheckpointManager:
 
     def _write_index(self):
         index = [{"metric": m, "path": os.path.basename(p)} for m, p in self.entries]
-        with open(os.path.join(self.output_dir, "checkpoints.json"), "w") as f:
+        path = os.path.join(self.output_dir, "checkpoints.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(index, f, indent=2)
+        os.replace(tmp, path)

@@ -17,7 +17,7 @@ Layout conventions converted:
 from __future__ import annotations
 
 import logging
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -148,6 +148,11 @@ def convert_bert(sd: Arrays, num_layers: int = 12, prefix: str = "bert."):
     sd = _strip_prefix(sd, "")
     # accept either "bert.embeddings..." or "embeddings..." roots
     if not any(k.startswith(prefix) for k in sd):
+        if not any(k.startswith("embeddings.") for k in sd):
+            raise KeyError(
+                f"convert_bert: no '{prefix}*' or 'embeddings.*' keys in the "
+                f"state dict (roots: {sorted({k.split('.')[0] for k in sd})[:8]})"
+            )
         prefix = ""
     g = lambda k: sd[prefix + k]
 
@@ -430,7 +435,7 @@ def convert_mamba_vision(sd: Arrays, variant: str = "T"):
     norm1/mixer/norm2/mlp [+gamma_1/gamma_2]); levels.{i}.downsample.
     reduction.0; norm; head. Depthwise conv1d weights (half, 1, k) -> HIO.
     """
-    from ..models.mamba_vision import MAMBA_VISION_SPECS, transformer_block_indices
+    from ..models.mamba_vision import MAMBA_VISION_SPECS
 
     sd = _strip_prefix(sd, "")
     spec = MAMBA_VISION_SPECS[variant]
@@ -587,19 +592,33 @@ def _conv1x1(sd: Arrays, name: str) -> dict:
     return {"kernel": _conv(sd[f"{name}.weight"]), "bias": sd[f"{name}.bias"]}
 
 
-def _convert_kan_bank(sd: Arrays, prefix: str, num_experts: int):
+def _convert_kan_bank(sd: Arrays, prefix: str, num_experts: Optional[int] = None):
     """torch `nn.ModuleList` of KAN1 experts (reference moe.py:160 —
     `experts.{e}.layers.{i}.{base_weight,spline_weight,spline_scaler}` +
     `grid` buffer, kan1.py:35-48) -> our vmapped expert bank: the same
     leaves stacked on a leading expert axis (modules/moe.py ExpertBank).
 
+    num_experts=None infers the count from the checkpoint; a mismatch with
+    an explicit count raises (silent truncation would load half an expert
+    bank against a full-width gate).
+
     Returns (params_subtree, kan_state_subtree) for the `experts` module.
     """
+    n_ckpt = 0
+    while f"{prefix}{n_ckpt}.layers.0.base_weight" in sd:
+        n_ckpt += 1
+    if n_ckpt == 0:
+        raise KeyError(f"{prefix}0.layers.0.base_weight")
+    if num_experts is None:
+        num_experts = n_ckpt
+    elif num_experts != n_ckpt:
+        raise ValueError(
+            f"checkpoint has {n_ckpt} experts under '{prefix}' but the model "
+            f"is configured with {num_experts} (model.moe.num_experts)"
+        )
     n_layers = 0
     while f"{prefix}0.layers.{n_layers}.base_weight" in sd:
         n_layers += 1
-    if n_layers == 0:
-        raise KeyError(f"{prefix}0.layers.0.base_weight")
     params: dict = {}
     state: dict = {}
     for i in range(n_layers):
@@ -630,7 +649,8 @@ def convert_connext_full(
     head: str = "linear",
     convnext_variant: str = "base",
     num_bert_layers: int = 12,
-    moe_num_experts: int = 4,
+    moe_num_experts: Optional[int] = None,
+    use_mamba_fusion: bool = False,
 ):
     """Complete ConNexT checkpoint -> (params, batch_stats, kan_state) for
     mdhs_tpu.models.connext.ConNexTClassifier.
@@ -654,6 +674,15 @@ def convert_connext_full(
     - fc head; or a `moe.*` subtree (w_gate/w_noise + KAN expert bank,
       moe.py:154-169) when head="moe".
     """
+    if use_mamba_fusion:
+        # the converter maps no mamba_fusion/mamba_fc parameters; proceeding
+        # would leave the live head randomly initialized behind a
+        # "loaded full pretrained model" log line
+        raise ValueError(
+            "convert_connext_full cannot import into a mamba-fusion model "
+            "(model.mamba_fusion.enabled) — no reference checkpoint for that "
+            "head exists; disable mamba fusion or train from scratch"
+        )
     sd = _strip_prefix(sd, "")
     # peel the Lightning wrappers: Model4AAAI_MoE.net.net / wrapper.net
     for wrapper in ("net.net.", "net."):
@@ -703,6 +732,16 @@ def convert_connext_full(
             raise KeyError(
                 "head='linear' but no 'fc.weight' in the checkpoint "
                 f"(peeled keys start with: {sorted({k.split('.')[0] for k in sd})})"
+            )
+        if "moe.w_gate" in sd:
+            # legitimate in the reference (the outer module instantiates MoE
+            # even when the shipped forward bypasses it, pl_model_MOE2.py),
+            # but worth a loud note: the moe subtree is being dropped
+            log.warning(
+                "checkpoint contains a 'moe.*' subtree but head='linear' — "
+                "importing the fc head and discarding the MoE expert bank; "
+                "set model.moe.enabled=true if the checkpoint was trained "
+                "through the MoE head"
             )
         params["fc"] = _dense(sd, "fc")
     return params, {}, kan_state

@@ -149,6 +149,10 @@ class MultimodalBaselineModel(nn.Module):
         if c.global_local_enabled and c.global_local_combine == "concat":
             self.global_local_proj = nn.Dense(c.hidden_dim, dtype=self.dtype)
 
+        # hierarchical fusion taps depth-proportional BERT layers: thirds of
+        # the stack ((4, 8, 12) for bert-base), scaled to shallower configs
+        L = c.bert.num_hidden_layers
+        text_layers = tuple(max(1, round(L * i / 3)) for i in (1, 2, 3))
         self.fusion = build_fusion(
             c.fusion_type,
             text_dim=c.text_feature_dim,
@@ -156,6 +160,7 @@ class MultimodalBaselineModel(nn.Module):
             num_heads=c.num_heads,
             dropout=fusion_dropout,
             text_pool=c.text_pool,
+            text_layers=text_layers,
             dtype=self.dtype,
         )
 

@@ -35,8 +35,6 @@ class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
-    kdim: Optional[int] = None
-    vdim: Optional[int] = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact

@@ -66,12 +66,13 @@ class BasicTransformerBlock(nn.Module):
         x = x + h
 
         h = ln("norm2")(x)
+        # key/value widths are inferred from the context tensor (torch's
+        # kdim/vdim variant maps to the same separate-projection weights,
+        # core/convert.py:221)
         h = MultiHeadAttention(
             self.dim,
             self.num_heads,
             self.dropout,
-            kdim=self.context_dim,
-            vdim=self.context_dim,
             dtype=self.dtype,
             name="attn2",
         )(h, context, context, key_padding_mask=context_mask, deterministic=deterministic)
@@ -250,8 +251,12 @@ class HierarchicalFusion(nn.Module):
             text_hidden_states = (txt_tokens,) * (max(self.text_layers) + 1)
         pooled = []
         for key, t_layer in zip(("layer2", "layer3", "layer4"), self.text_layers):
-            t_idx = min(t_layer, len(text_hidden_states) - 1)
-            txt = text_hidden_states[t_idx]
+            if t_layer >= len(text_hidden_states):
+                raise ValueError(
+                    f"hierarchical fusion text_layers index {t_layer} out of "
+                    f"range for {len(text_hidden_states)} text hidden states"
+                )
+            txt = text_hidden_states[t_layer]
             t = CrossAttentionBlock(
                 self.text_dim,
                 self.hidden_dim,
@@ -324,9 +329,12 @@ class VMambaFusion(nn.Module):
 
 
 def build_fusion(fusion_type: str, *, text_dim: int, hidden_dim: int, num_heads: int = 4,
-                 dropout: float = 0.1, text_pool: str = "cls", dtype=jnp.bfloat16, name="fusion"):
+                 dropout: float = 0.1, text_pool: str = "cls", text_layers=None,
+                 dtype=jnp.bfloat16, name="fusion"):
     cls = FUSIONS.get(fusion_type)
     kwargs = dict(text_dim=text_dim, hidden_dim=hidden_dim, text_pool=text_pool, dtype=dtype, name=name)
     if fusion_type in ("basic", "multiscale", "hierarchical"):
         kwargs.update(num_heads=num_heads, dropout=dropout)
+    if fusion_type == "hierarchical" and text_layers is not None:
+        kwargs.update(text_layers=tuple(text_layers))
     return cls(**kwargs)

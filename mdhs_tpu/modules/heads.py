@@ -135,6 +135,8 @@ class MoEHead(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         from .moe import MoE
 
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         logits, balance = MoE(
             input_size=self.hidden_dim,
             output_size=self.num_classes,

@@ -24,7 +24,8 @@ def sinusoidal_pe(seq_len: int, dim: int) -> jnp.ndarray:
     div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim))
     pe = jnp.zeros((seq_len, dim), dtype=jnp.float32)
     pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
-    pe = pe.at[:, 1::2].set(jnp.cos(pos * div[: (dim - dim // 2)] if dim % 2 else div))
+    # dim//2 cosine slots (one fewer than sine when dim is odd)
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div[: dim // 2]))
     return pe
 
 

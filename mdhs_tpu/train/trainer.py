@@ -1008,6 +1008,7 @@ class Trainer:
                         convnext_variant=self.model.convnext_variant,
                         num_bert_layers=self.model.bert.num_hidden_layers,
                         moe_num_experts=self.model.moe_num_experts,
+                        use_mamba_fusion=self.model.use_mamba_fusion,
                     )
                 self._merge_subtrees(p, s, ks)
             else:

@@ -168,3 +168,28 @@ def test_hierarchical_fusion():
     hidden2 = tuple(h + 1.0 for h in hidden)
     out2 = jax.jit(lambda v: fu.apply(v, img, txt, mask, text_hidden_states=hidden2))(v)
     assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-4
+
+
+def test_sinusoidal_pe_matches_torch_formula():
+    """Differential vs the reference PE (sequence_blocks.py:47-56,
+    len4mamba.py:122-129): pe[:, 0::2] = sin(pos*div), pe[:, 1::2] =
+    cos(pos*div). A precedence bug here once made every cosine channel
+    position-independent — pin the exact values."""
+    import torch
+
+    from mdhs_tpu.modules.sequence import sinusoidal_pe
+
+    for T, dim in [(5, 8), (16, 256), (7, 6)]:
+        position = torch.arange(T).unsqueeze(1).float()
+        div_term = torch.exp(
+            torch.arange(0, dim, 2).float() * (-np.log(10000.0) / dim)
+        )
+        ref = torch.zeros(T, dim)
+        ref[:, 0::2] = torch.sin(position * div_term)
+        ref[:, 1::2] = torch.cos(position * div_term[: dim // 2])
+        got = np.asarray(sinusoidal_pe(T, dim))
+        np.testing.assert_allclose(got, ref.numpy(), atol=1e-6, err_msg=f"{T}x{dim}")
+        # the highest-frequency cosine channel must vary with position (the
+        # precedence bug made every cos channel constant; the lowest-frequency
+        # channels legitimately vary below f32 resolution at tiny T)
+        assert np.abs(np.diff(got[:, 1])).max() > 1e-3
