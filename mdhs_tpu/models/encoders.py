@@ -13,13 +13,12 @@ Functional taps (returned, not hooked) feed Grad-CAM (analysis/gradcam.py).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from .bert import BertConfig, BertModel
-from .resnet import ResNet, TAP_CHANNELS
+from .resnet import ResNet
 
 
 class ImageTokenEncoder(nn.Module):

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ Design notes (TPU-first, not a torch translation):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Sequence
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -210,7 +210,8 @@ def random_crop_flip_rotate(
 # ---------------------------------------------------------------------------
 
 def _compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Compose 2x3 affines: result(x) = a(b(x)) in homogeneous coords."""
+    """Compose 2x3 affines: result(x) = b(a(x)) in homogeneous coords
+    ((b3 @ a3) x applies a first, then b)."""
     a3 = jnp.concatenate([a, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
     b3 = jnp.concatenate([b, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
     return (b3 @ a3)[:2]
@@ -317,23 +318,35 @@ def _hsv_to_rgb(x):
 
 
 def color_jitter(key, x, brightness=0.2, contrast=0.2, saturation=0.2, hue=0.1):
-    """x: (B, H, W, 3) in [0,1]. Per-sample factors, torchvision ranges."""
+    """x: (B, H, W, 3) in [0,1]. Per-sample factors, torchvision op math:
+    brightness = x*f; contrast = blend with the grayscale mean; saturation =
+    blend with the per-pixel grayscale (NOT an HSV S-multiply — different
+    chroma trajectory); hue = HSV hue shift. Deviation from torchvision
+    ColorJitter: ops run in the fixed order brightness->contrast->
+    saturation->hue instead of a random permutation per sample (a per-sample
+    permutation would need 24 lax.switch branches inside the fused pipeline;
+    the strict host path, data/augment_host.py, shuffles like torchvision).
+    """
     B = x.shape[0]
     kb, kc, ks, kh = jax.random.split(key, 4)
     fb = jax.random.uniform(kb, (B, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
     fc = jax.random.uniform(kc, (B, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
-    fs = jax.random.uniform(ks, (B, 1, 1), minval=1 - saturation, maxval=1 + saturation)
+    fs = jax.random.uniform(ks, (B, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
     fh = jax.random.uniform(kh, (B, 1, 1), minval=-hue, maxval=hue)
 
+    lum = jnp.array([0.299, 0.587, 0.114], x.dtype)
     x = jnp.clip(x * fb, 0.0, 1.0)
     # contrast about the per-image grayscale mean (torchvision semantics)
-    gray = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+    gray = x @ lum
     mean = gray.mean(axis=(1, 2), keepdims=True)[..., None]
     x = jnp.clip((x - mean) * fc + mean, 0.0, 1.0)
+    # saturation: blend with the per-pixel grayscale (torchvision
+    # F.adjust_saturation == host _adjust_saturation)
+    gray = (x @ lum)[..., None]
+    x = jnp.clip((x - gray) * fs + gray, 0.0, 1.0)
     hsv = _rgb_to_hsv(x)
     h = (hsv[..., 0] + fh) % 1.0
-    s = jnp.clip(hsv[..., 1] * fs, 0.0, 1.0)
-    x = _hsv_to_rgb(jnp.stack([h, s, hsv[..., 2]], axis=-1))
+    x = _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
     return jnp.clip(x, 0.0, 1.0)
 
 

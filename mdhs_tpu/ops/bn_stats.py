@@ -68,14 +68,20 @@ def use_kernel(x_shape, dtype) -> bool:
 
 def _row_block(n_rows: int, cols: int) -> int:
     """Largest divisor of n_rows that is a multiple of 8 and keeps the
-    block under the VMEM budget (0 if none exists)."""
+    block under the VMEM budget (0 if none exists). O(sqrt(n)) divisor
+    enumeration — this runs at trace time on a 1-CPU host, so a linear
+    scan over candidate blocks (~200k iterations for a ResNet50 stem
+    activation) is too slow."""
     cap = max(8, _VMEM_BLOCK_ELEMS // max(cols, 1))
+    cap = min(cap, n_rows)
     best = 0
-    r = 8
-    while r <= min(cap, n_rows):
-        if n_rows % r == 0:
-            best = r
-        r += 8
+    d = 1
+    while d * d <= n_rows:
+        if n_rows % d == 0:
+            for r in (d, n_rows // d):
+                if r % 8 == 0 and r <= cap and r > best:
+                    best = r
+        d += 1
     return best
 
 

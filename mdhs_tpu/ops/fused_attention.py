@@ -175,13 +175,22 @@ fused_attention.defvjp(_fwd, _bwd)
 
 
 def supports(dtype, seq_len: int, hidden: int, num_heads: int) -> bool:
-    """Static gate: shapes/dtypes this kernel handles efficiently."""
+    """Static gate: shapes/dtypes this kernel handles efficiently, bounded
+    by the actual per-grid-step VMEM footprint (like attention_block/
+    ffn_block.supports) so wide-hidden configs (e.g. BERT-large at L=512:
+    ~14MB) fall back to XLA instead of failing Mosaic compilation."""
     head_dim = hidden // num_heads
-    return (
+    if not (
         dtype == jnp.bfloat16
         and seq_len % 128 == 0
         and 128 <= seq_len <= 512
         and hidden % 128 == 0
         and head_dim * num_heads == hidden
         and head_dim % 8 == 0
-    )
+    ):
+        return False
+    G = _head_group_size(num_heads, seq_len)
+    scores = G * seq_len * seq_len * 4          # f32 scores scratch
+    probs = G * seq_len * seq_len * 2           # bf16 probs scratch
+    io = 4 * 2 * seq_len * hidden * 2           # q/k/v/out blocks, double-buffered
+    return scores + probs + io <= 13 * 1024 * 1024

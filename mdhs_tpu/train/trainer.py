@@ -678,11 +678,19 @@ class Trainer:
             tab = batch.get("tabular")
             extra = {k: batch[k] for k in ("first_hidden", "last_hidden") if k in batch}
             if tta:
+                # tabular / LLM-hidden inputs must ride through tta_logits as
+                # positional args so they get tiled to the V*B variant batch
+                # (a closure capture would keep them at B and shape-error)
+                ex_keys = sorted(extra)
                 logits = tta_logits(
-                    lambda im, ii, am: apply_logits(variables, im, ii, am, tab, extra),
+                    lambda im, ii, am, tb, *ex: apply_logits(
+                        variables, im, ii, am, tb, dict(zip(ex_keys, ex))
+                    ),
                     images,
                     batch["input_ids"],
                     batch["attention_mask"],
+                    tab,
+                    *[extra[k] for k in ex_keys],
                     transforms=tuple(tta_transforms or ("hflip",)),
                 )
             else:

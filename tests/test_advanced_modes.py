@@ -195,3 +195,22 @@ def test_host_augment_functions():
     jit = color_jitter(arr, rng)
     assert jit.shape == arr.shape
     assert 0 <= jit.min() and jit.max() <= 255
+
+
+def test_tta_with_tabular(synth, tmp_path):
+    """TTA must tile tabular (and LLM-hidden) inputs to the variant batch
+    (reference predict.py:63-70 runs TTA on tabular-enabled models); a
+    closure-captured tabular stayed at B while images became V*B."""
+    root, paths = synth
+    cfg = make_cfg(
+        root, paths,
+        model__tabular={"enabled": True, "hidden_dim": 8,
+                        "fields": ["age", "sex", "localization"]},
+    )
+    tr = run_one_step(cfg, tmp_path, "tta_tab")
+    batch = next(iter(tr.train_loader))
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+    step = tr.eval_step_fn(tta=True, tta_transforms=("hflip", "vflip", "rot90"))
+    logits = step(tr.state, jb)
+    assert logits.shape == (2, 6)
+    assert np.isfinite(np.asarray(logits, np.float32)).all()

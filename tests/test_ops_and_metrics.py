@@ -216,3 +216,32 @@ def test_kan_update_grid_preserves_function():
     np.testing.assert_allclose(
         np.asarray(y_before), np.asarray(y_after), atol=0.05, rtol=0.1
     )
+
+
+def test_color_jitter_saturation_is_grayscale_blend():
+    """torchvision F.adjust_saturation blends with the per-pixel grayscale
+    (== data/augment_host._adjust_saturation), NOT an HSV S-multiply: for a
+    pure-color pixel the max channel must move toward luma."""
+    import jax
+
+    from mdhs_tpu.ops.augment import color_jitter
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, size=(2, 8, 8, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    out = np.asarray(color_jitter(key, x, brightness=0, contrast=0,
+                                  saturation=0.5, hue=0))
+    # replicate the factor draw and the host-path blend
+    _, _, ks, _ = jax.random.split(key, 4)
+    fs = np.asarray(jax.random.uniform(ks, (2, 1, 1, 1), minval=0.5, maxval=1.5))
+    lum = np.array([0.299, 0.587, 0.114], np.float32)
+    gray = (np.asarray(x) @ lum)[..., None]
+    want = np.clip((np.asarray(x) - gray) * fs + gray, 0, 1)
+    np.testing.assert_allclose(out, want, atol=2e-5)
+
+    # distinguishing case vs HSV S-multiply: pure red at factor != 1 must
+    # change its max channel (HSV keeps V fixed)
+    red = jnp.zeros((1, 4, 4, 3)).at[..., 0].set(1.0)
+    out_red = np.asarray(color_jitter(key, red, brightness=0, contrast=0,
+                                      saturation=0.5, hue=0))
+    assert abs(out_red[..., 0].max() - 1.0) > 0.05

@@ -99,7 +99,7 @@ def test_baseline_loss_decreases(synth, tmp_path):
     batch = next(iter(tr.train_loader))
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
     losses = []
-    for i in range(8):
+    for i in range(12):
         tr.state, m = step(tr.state, jb, jax.random.PRNGKey(1))
         losses.append(float(m["loss"]))
     # Augmentation is re-sampled every step, so the curve is noisy; require
