@@ -39,7 +39,7 @@ def _find_leaf(tree, name):
     return None
 
 
-def gradcam(
+def gradcam_device(
     forward: Callable[[dict], tuple],
     variables: dict,
     *,
@@ -48,11 +48,12 @@ def gradcam(
     image_size: int = 224,
     return_layer_cams: bool = False,
 ):
-    """forward(variables) -> (logits (B,C), taps dict with stem/layer1..4).
+    """Traceable Grad-CAM core: pure jnp, safe to call under jax.jit.
 
+    forward(variables) -> (logits (B,C), taps dict with stem/layer1..4).
     `variables` must include the zero "perturbations" collection from
-    model.init. Returns (cams (B, S, S) in [0,1], logits np.ndarray)
-    [, per-layer cam dict when return_layer_cams].
+    model.init. Returns (cams (B, S, S) in [0,1], logits)
+    [, per-layer cam dict when return_layer_cams] — all jnp.
 
     Per-layer math matches analysis_tools.py:74-111 exactly: weights =
     GAP(grad), cam = ReLU(sum_c w_c A_c), divide by max (no min shift —
@@ -87,14 +88,36 @@ def gradcam(
         cam = jax.image.resize(cam, (cam.shape[0], image_size, image_size), "bilinear")
         cams.append(cam)
         if return_layer_cams:
-            layer_cams[name] = np.asarray(cam)
+            layer_cams[name] = cam
     if not cams:
         raise ValueError(f"no CAM layers found among {layers}")
     avg = sum(cams) / len(cams)
     mx = avg.max(axis=(1, 2), keepdims=True)
     avg = jnp.where(mx > 0, avg / jnp.where(mx > 0, mx, 1.0), avg)
     if return_layer_cams:
-        return np.asarray(avg), np.asarray(logits), layer_cams
+        return avg, logits, layer_cams
+    return avg, logits
+
+
+def gradcam(forward, variables, *, return_layer_cams: bool = False, **kw):
+    """Host wrapper over gradcam_device: same math, np.ndarray outputs.
+
+    One-shot convenience (tests, single batches). Loops should jit
+    gradcam_device once with batch tensors as ARGUMENTS — a fresh closure
+    per batch defeats the jit cache and runs eagerly (30-40ms/dispatch
+    through the relay); see cli/run_analysis.py.
+    """
+    out = gradcam_device(
+        forward, variables, return_layer_cams=return_layer_cams, **kw
+    )
+    if return_layer_cams:
+        avg, logits, layer_cams = out
+        return (
+            np.asarray(avg),
+            np.asarray(logits),
+            {k: np.asarray(v) for k, v in layer_cams.items()},
+        )
+    avg, logits = out
     return np.asarray(avg), np.asarray(logits)
 
 

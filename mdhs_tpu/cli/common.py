@@ -6,7 +6,6 @@ import csv
 import os
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config, load_config
@@ -28,7 +27,10 @@ def run_prediction(trainer: Trainer, loader, *, tta_cfg=None, ablation_mode=None
     )
     ids, preds, all_logits = [], [], []
     for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+        # _device_batch shards the batch axis over the mesh data axis (and
+        # builds the global array under multi-process); plain jnp.asarray
+        # would feed replicated inputs on a >1-device mesh.
+        jb = trainer._device_batch(batch)
         logits = np.asarray(step(trainer.state, jb), np.float32)
         n = int(batch["n_valid"])
         ids.extend(batch["image_id"][:n])

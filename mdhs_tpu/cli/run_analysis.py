@@ -12,7 +12,7 @@ import numpy as np
 from PIL import Image
 
 from ..analysis.feature_rank import FeatureRankAnalyzer
-from ..analysis.gradcam import gradcam, visualize_cam
+from ..analysis.gradcam import gradcam_device, visualize_cam
 from .common import build_trainer
 
 
@@ -54,39 +54,49 @@ def main(argv=None):
     model = trainer.model
     rank = FeatureRankAnalyzer()
     n_cam_done = 0
+    variables = trainer.variables()
     feature_fn = jax.jit(
         lambda v, im, ii, am, tab: model.apply(
             v, im, ii, am, tabular_input=tab, method=model.forward_features
         )
     )
+
+    # ONE jitted forward+backward for Grad-CAM, hoisted out of the loop:
+    # batch tensors are arguments (not closure captures), so every batch
+    # after the first hits the jit cache. The zero perturbations collection
+    # is built once — loader batches have static padded shapes.
+    def _cam_step(v, p, im, ii, am, tab):
+        def fwd(vv):
+            return model.apply(
+                vv, im, ii, am, tabular_input=tab, method=model.logits_and_taps
+            )
+
+        return gradcam_device(
+            fwd, {**v, "perturbations": p}, image_size=trainer.image_size
+        )
+
+    cam_step = jax.jit(_cam_step)
+    perts = None
+
     for batch in loader:
         jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
         images = trainer._preprocess_eval(jb["image"])
         n = int(batch["n_valid"])
-        variables = trainer.variables()
 
         feats = feature_fn(variables, images, jb["input_ids"], jb["attention_mask"],
                            jb.get("tabular"))
         rank.add(np.asarray(feats, np.float32)[:n])
 
         if n_cam_done < args.num_cam_images:
-            perts = zero_perturbations(
-                model, images, jb["input_ids"], jb["attention_mask"], jb.get("tabular")
-            )
-
-            def fwd(v):
-                return model.apply(
-                    v,
-                    images,
-                    jb["input_ids"],
-                    jb["attention_mask"],
-                    tabular_input=jb.get("tabular"),
-                    method=model.logits_and_taps,
+            if perts is None:
+                perts = zero_perturbations(
+                    model, images, jb["input_ids"], jb["attention_mask"], jb.get("tabular")
                 )
-
-            cams, _ = gradcam(
-                fwd, {**variables, "perturbations": perts}, image_size=trainer.image_size
+            cams, _ = cam_step(
+                variables, perts, images, jb["input_ids"], jb["attention_mask"],
+                jb.get("tabular"),
             )
+            cams = np.asarray(cams, np.float32)
             raw = np.asarray(jb["image"], np.uint8)
             S = trainer.image_size
             take = min(n, args.num_cam_images - n_cam_done)

@@ -39,6 +39,7 @@ def main(argv=None):
     report = classification_report(jnp.asarray(logits), jnp.asarray(labels), num_classes)
     out = {
         "accuracy": float(report["accuracy"]) * 100.0,
+        "accuracy_macro": float(report["accuracy_macro"]),
         "precision_macro": float(report["precision_macro"]),
         "recall_macro": float(report["recall_macro"]),
         "f1_macro": float(report["f1_macro"]),

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import unicodedata
+import zlib
 from typing import Iterable, Optional
 
 import numpy as np
@@ -106,7 +107,10 @@ class WordPieceTokenizer:
 
     def _wordpiece(self, word: str) -> list[int]:
         if getattr(self, "_hashed", False):
-            h = 5 + (hash(word) % (self.vocab_size - 5))
+            # crc32, NOT hash(): Python's str hash is salted per process
+            # (PYTHONHASHSEED), which would remap every synthetic token id
+            # between a training run and a later predict/evaluate process.
+            h = 5 + (zlib.crc32(word.encode("utf-8")) % (self.vocab_size - 5))
             return [h]
         if len(word) > self.max_chars_per_word:
             return [self.unk_id]

@@ -44,10 +44,13 @@ def initialize_multihost() -> bool:
         pid = os.environ.get("RANK", "0")
     if coord is None or nproc is None:
         return False
+    # PROCESS_ID absent -> pass None so jax.distributed.initialize can use
+    # its cluster auto-detection; int(pid or 0) would make EVERY host claim
+    # process 0 and hang the coordinator barrier.
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=int(nproc),
-        process_id=int(pid or 0),
+        process_id=int(pid) if pid is not None else None,
     )
     log.info(
         "jax.distributed initialized: process %s/%s, %d global devices",

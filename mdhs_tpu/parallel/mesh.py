@@ -126,7 +126,7 @@ def shard_params(params, mesh: Mesh):
     leaves, treedef = flat
     out = []
     for path, leaf in leaves:
-        sh = param_sharding_rules(tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path), leaf, mesh)
+        sh = param_sharding_rules(_path_strs(path), leaf, mesh)
         out.append(global_put(leaf, sh))
     return jax.tree_util.tree_unflatten(treedef, out)
 

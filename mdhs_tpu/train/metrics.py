@@ -40,10 +40,21 @@ def per_class_metrics(cm: jnp.ndarray):
 
 
 def macro_metrics(cm: jnp.ndarray):
+    """Macro metric dict.
+
+    `accuracy` is micro (correct/total), matching the reference's
+    training_step accuracy (`(pred.argmax == labels).mean()`,
+    pl_model_MOE2.py:149 and scripts/train.py). `accuracy_macro` is mean
+    per-class recall: torchmetrics `Accuracy(task="multiclass", ...)` with
+    no `average` arg defaults to average="macro", so the reference's logged
+    val_Accuracy (pl_model_MOE2.py:121) is THIS number, not micro accuracy —
+    on the imbalanced HAM split they differ by ~10+ points.
+    """
     per = per_class_metrics(cm)
     total = cm.sum()
     return {
         "accuracy": jnp.diag(cm).sum() / jnp.maximum(total, 1.0),
+        "accuracy_macro": per["recall"].mean(),
         "precision_macro": per["precision"].mean(),
         "recall_macro": per["recall"].mean(),
         "f1_macro": per["f1"].mean(),

@@ -82,7 +82,15 @@ def scale_by_muon(momentum: float = 0.95, nesterov: bool = True, ns_steps: int =
             else:
                 g2 = g
             o = newton_schulz_orthogonalize(g2, ns_steps)
-            scale = max(1.0, g2.shape[0] / g2.shape[1]) ** 0.5
+            if g.ndim == 2:
+                # Flax dense kernels are (in, out); torch Muon scales by
+                # max(1, out/in)**0.5 on its (out, in) weights. Newton–Schulz
+                # is transpose-equivariant so no transpose is needed — only
+                # the scale must use torch's orientation: rows=out, cols=in.
+                scale = max(1.0, g2.shape[1] / g2.shape[0]) ** 0.5
+            else:
+                # g2 is already (O, fan_in) = torch orientation.
+                scale = max(1.0, g2.shape[0] / g2.shape[1]) ** 0.5
             o = o * scale
             if g.ndim > 2:
                 o = o.T.reshape(g.shape)
@@ -100,17 +108,29 @@ def muon_with_aux_adam(
     aux_lr: float = 3e-4,
     aux_betas=(0.9, 0.95),
     aux_weight_decay: float = 0.01,
+    lr_factor=None,
 ):
-    """ndim>=2 params -> Muon; others -> AdamW (reference train.py:289-307)."""
+    """ndim>=2 params -> Muon; others -> AdamW (reference train.py:289-307).
+
+    lr_factor: optional schedule multiplier (step -> factor). torch's
+    CosineAnnealingLR / LambdaLR scale EVERY param group's lr each step
+    (reference train.py:313-334), so both the Muon and aux-Adam groups
+    must see the configured lr_scheduler, not fixed lrs.
+    """
+    if lr_factor is None:
+        muon_sched, aux_sched = muon_lr, aux_lr
+    else:
+        muon_sched = lambda step: muon_lr * lr_factor(step)  # noqa: E731
+        aux_sched = lambda step: aux_lr * lr_factor(step)  # noqa: E731
     muon_tx = optax.chain(
         scale_by_muon(momentum=muon_momentum),
         optax.add_decayed_weights(muon_weight_decay),
-        optax.scale_by_learning_rate(muon_lr),
+        optax.scale_by_learning_rate(muon_sched),
     )
     adam_tx = optax.chain(
         optax.scale_by_adam(b1=aux_betas[0], b2=aux_betas[1]),
         optax.add_decayed_weights(aux_weight_decay),
-        optax.scale_by_learning_rate(aux_lr),
+        optax.scale_by_learning_rate(aux_sched),
     )
 
     def label_fn(params):
@@ -200,12 +220,20 @@ def _sgd(lr_schedule, cfg):
 def _muon(lr_schedule, cfg):
     t = cfg.get("training", {}) if cfg is not None else {}
     get = t.get if hasattr(t, "get") else (lambda *a: a[1] if len(a) > 1 else None)
+    # lr_schedule is absolute (built from training.learning_rate); Muon's
+    # groups use their own base lrs, so recover the multiplicative factor
+    # the torch schedulers apply to every param group (train.py:313-334).
+    lr_factor = None
+    if callable(lr_schedule):
+        base_lr = float(get("learning_rate", 1e-4)) or 1.0
+        lr_factor = lambda step: lr_schedule(step) / base_lr  # noqa: E731
     return muon_with_aux_adam(
         muon_lr=get("muon_lr", 0.02),
         muon_weight_decay=get("muon_weight_decay", 0.01),
         aux_lr=get("muon_aux_lr", 3e-4),
         aux_betas=tuple(get("muon_aux_betas", (0.9, 0.95))),
         aux_weight_decay=get("muon_aux_weight_decay", 0.01),
+        lr_factor=lr_factor,
     )
 
 

@@ -788,7 +788,10 @@ class Trainer:
         class_names = self.cfg.get("data.class_names") or [
             f"class_{i}" for i in range(num_classes)
         ]
-        for tag in ("precision_macro", "recall_macro", "f1_macro", "auroc_macro"):
+        # accuracy_macro is the torchmetrics val_Accuracy analogue (macro
+        # default); "accuracy" stays micro (training_step semantics).
+        for tag in ("accuracy_macro", "precision_macro", "recall_macro",
+                    "f1_macro", "auroc_macro"):
             self.writer.scalar(f"val/{tag}", float(rep[tag]), epoch)
         for metric, values in rep["per_class"].items():
             for i, v in enumerate(np.asarray(values)):

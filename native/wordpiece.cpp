@@ -20,6 +20,7 @@ namespace {
 
 struct Tokenizer {
   std::unordered_map<std::string, int> vocab;
+  int n_ids = 0;  // max assigned id + 1 (= line count; != vocab.size() on dup lines)
   int pad_id = 0, unk_id = 1, cls_id = 2, sep_id = 3;
   bool lowercase = true;
   int max_chars_per_word = 100;
@@ -269,8 +270,12 @@ void* wp_create(const char* vocab_path, int lowercase) {
   int idx = 0;
   while (std::getline(f, line)) {
     if (!line.empty() && line.back() == '\r') line.pop_back();
-    t->vocab.emplace(line, idx++);
+    // operator[]: last duplicate wins, matching HF load_vocab and the
+    // Python from_vocab_file (emplace would keep the FIRST id while idx
+    // still advances, emitting ids the two implementations disagree on).
+    t->vocab[line] = idx++;
   }
+  t->n_ids = idx;
   auto get = [&](const char* k, int dflt) {
     auto it = t->vocab.find(k);
     return it == t->vocab.end() ? dflt : it->second;
@@ -283,7 +288,9 @@ void* wp_create(const char* vocab_path, int lowercase) {
 }
 
 int wp_vocab_size(void* handle) {
-  return static_cast<int>(static_cast<Tokenizer*>(handle)->vocab.size());
+  // max id + 1, NOT map.size(): embedding tables are sized from this, and
+  // duplicate vocab lines would otherwise let emitted ids reach vocab_size.
+  return static_cast<Tokenizer*>(handle)->n_ids;
 }
 
 void wp_free(void* handle) { delete static_cast<Tokenizer*>(handle); }

@@ -52,3 +52,25 @@ def test_native_wordpiece_matches_python(tmp_path):
         ci, cm = cc.encode(text, 16)
         np.testing.assert_array_equal(pi, ci, err_msg=text)
         np.testing.assert_array_equal(pm, cm, err_msg=text)
+
+
+def test_native_wordpiece_duplicate_vocab_lines(tmp_path):
+    """Duplicate vocab lines: both implementations must agree (last id wins,
+    HF load_vocab behavior) and report vocab_size = max id + 1, so embedding
+    tables sized from vocab_size always cover every emitted id."""
+    from mdhs_tpu.data.tokenizer import WordPieceTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "dup", "alpha", "dup", "omega"]  # "dup" appears at ids 5 and 7
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab) + "\n")
+
+    py = WordPieceTokenizer.from_vocab_file(str(vp))
+    cc = native.NativeWordPiece(str(vp))
+    assert py.vocab_size == cc.vocab_size == len(vocab)
+
+    pi, _ = py.encode("dup alpha omega", 8)
+    ci, _ = cc.encode("dup alpha omega", 8)
+    np.testing.assert_array_equal(pi, ci)
+    assert 7 in list(pi[:4])  # last duplicate id wins
+    assert max(pi) < py.vocab_size and max(ci) < cc.vocab_size

@@ -179,6 +179,12 @@ def test_metrics_vs_sklearn():
     probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
     ref_auc = sk.roc_auc_score(labels, probs, multi_class="ovr", average="macro")
     assert abs(float(rep["auroc_macro"]) - ref_auc) < 1e-3
+    # torchmetrics Accuracy(task='multiclass') defaults to average='macro'
+    # (mean per-class recall == sklearn balanced accuracy): the reference's
+    # logged val_Accuracy (pl_model_MOE2.py:121) maps to accuracy_macro.
+    assert abs(
+        float(rep["accuracy_macro"]) - sk.balanced_accuracy_score(labels, preds)
+    ) < 1e-6
 
 
 def test_auroc_at_scale_with_ties():

@@ -103,6 +103,47 @@ def test_muon_conv_kernel_matricization():
     assert 0.6 < s.min() and s.max() < 1.4, s
 
 
+def test_muon_dense_scale_uses_torch_orientation():
+    """torch Muon scales by max(1, out/in)**0.5 on (out, in) weights; Flax
+    dense kernels are (in, out), so the scale must use shape[1]/shape[0]."""
+    from mdhs_tpu.train.optim import scale_by_muon
+
+    tx = scale_by_muon(momentum=0.0, nesterov=False)
+    # wide head kernel (in=512, out=7): torch scale = max(1, 7/512)**0.5 = 1
+    g = jax.random.normal(jax.random.PRNGKey(2), (512, 7))
+    state = tx.init({"k": jnp.zeros_like(g)})
+    updates, _ = tx.update({"k": g}, state, None)
+    s = np.linalg.svd(np.asarray(updates["k"], np.float32), compute_uv=False)
+    assert 0.6 < s.min() and s.max() < 1.4, s
+    # expanding kernel (in=4, out=64): torch scale = max(1, 64/4)**0.5 = 4
+    g2 = jax.random.normal(jax.random.PRNGKey(3), (4, 64))
+    state2 = tx.init({"k": jnp.zeros_like(g2)})
+    updates2, _ = tx.update({"k": g2}, state2, None)
+    s2 = np.linalg.svd(np.asarray(updates2["k"], np.float32), compute_uv=False)
+    assert 2.4 < s2.min() and s2.max() < 5.6, s2
+
+
+def test_muon_respects_lr_schedule():
+    """Reference wraps Muon in CosineAnnealingLR/LambdaLR (train.py:313-334):
+    the schedule factor must scale BOTH the muon and aux-adam groups."""
+    from mdhs_tpu.core.config import Config
+    from mdhs_tpu.train.optim import make_optimizer
+
+    cfg = Config({"training": {"learning_rate": 0.1, "muon_lr": 0.02,
+                               "muon_aux_lr": 3e-4}})
+    # schedule at half the base lr -> factor 0.5 on every group
+    tx_half = make_optimizer("muon", lambda s: 0.05, cfg)
+    tx_full = make_optimizer("muon", lambda s: 0.1, cfg)
+    params = {"w": jnp.ones((8, 4)), "b": jnp.ones((4,))}
+    grads = {"w": jnp.full((8, 4), 0.1), "b": jnp.full((4,), 0.1)}
+    u_half, _ = tx_half.update(grads, tx_half.init(params), params)
+    u_full, _ = tx_full.update(grads, tx_full.init(params), params)
+    np.testing.assert_allclose(np.asarray(u_half["w"]),
+                               0.5 * np.asarray(u_full["w"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_half["b"]),
+                               0.5 * np.asarray(u_full["b"]), rtol=1e-5)
+
+
 def test_adamw_uses_torch_default_weight_decay():
     """torch AdamW default weight_decay=1e-2; update on a zero-grad param
     must be ≈ -lr * wd * p."""

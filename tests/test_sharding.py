@@ -269,3 +269,32 @@ def test_data_axis_size():
     assert data_axis_size(128, 8) == 8
     assert data_axis_size(4, 8) == 4       # batch smaller than devices
     assert data_axis_size(1, 8) == 1
+
+
+def test_initialize_multihost_process_id_autodetect(monkeypatch):
+    """COORDINATOR_ADDRESS + NUM_PROCESSES without PROCESS_ID must pass
+    process_id=None (JAX cluster auto-detection) — int(pid or 0) would make
+    every host claim process 0 and hang the coordinator barrier."""
+    import jax
+
+    from mdhs_tpu.parallel.distributed import initialize_multihost
+
+    calls = {}
+
+    def fake_init(**kw):
+        calls.update(kw)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    for var in ("MASTER_ADDR", "MASTER_PORT", "WORLD_SIZE", "RANK"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "127.0.0.1:9999")
+    monkeypatch.setenv("NUM_PROCESSES", "2")
+    monkeypatch.delenv("PROCESS_ID", raising=False)
+    assert initialize_multihost()
+    assert calls["num_processes"] == 2
+    assert calls["process_id"] is None
+
+    calls.clear()
+    monkeypatch.setenv("PROCESS_ID", "1")
+    assert initialize_multihost()
+    assert calls["process_id"] == 1
