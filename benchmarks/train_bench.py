@@ -28,9 +28,13 @@ BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 K = 10
 
 
-def measure(batch: int = BATCH, k: int = K):
+def measure(batch: int = BATCH, k: int = K, training_overrides: dict = None):
     """Returns {"train_ips", "train_step_ms", "final_loss"} for the real
-    Trainer step at the given batch. Shared with bench.py (scored JSON)."""
+    Trainer step at the given batch. Shared with bench.py (scored JSON).
+
+    training_overrides: extra training.* config keys (A/B knobs, e.g.
+    {"flatten_optimizer": True}); also settable via env
+    BENCH_TRAIN_OVERRIDES='{"flatten_optimizer": true}'."""
     from mdhs_tpu.core.config import Config
     from mdhs_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
 
@@ -45,6 +49,10 @@ def measure(batch: int = BATCH, k: int = K):
         cd["model"]["text_encoder"]["preset"] = "base"
         cd["training"]["precision"] = "bf16"
         cd["training"]["learning_rate"] = 1e-4
+        env_over = os.environ.get("BENCH_TRAIN_OVERRIDES")
+        for src in (json.loads(env_over) if env_over else None, training_overrides):
+            if src:
+                cd["training"].update(src)
 
         from mdhs_tpu.train.trainer import Trainer
 

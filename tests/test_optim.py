@@ -4,6 +4,7 @@ schedules vs torch semantics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_newton_schulz_orthogonalizes():
@@ -181,3 +182,70 @@ def test_loader_weighted_and_padding():
     dlw = DataLoader(DS(), batch_size=4, weighted=True, num_classes=2, seed=0)
     labels = np.concatenate([b["label"] for b in dlw])
     assert (labels == 1).sum() > 1  # oversampled rare class
+
+
+def test_flatten_optimizer_matches_per_leaf():
+    """optax.flatten(adam) must produce bit-identical parameters to the
+    per-leaf adam over several steps (it is the same math on one flat
+    vector — the training.flatten_optimizer knob is perf-only)."""
+    from mdhs_tpu.core.config import Config
+    from mdhs_tpu.train.optim import make_optimizer
+
+    cfg = Config({"training": {"learning_rate": 1e-3}})
+    params = {
+        "enc": {"w": jnp.linspace(-1, 1, 12).reshape(3, 4), "b": jnp.ones((4,))},
+        "head": {"w": jnp.full((4, 2), 0.5)},
+    }
+    tx_leaf = make_optimizer("Adam", 1e-3, cfg)
+    tx_flat = make_optimizer("Adam", 1e-3, cfg, flatten=True)
+
+    import optax
+
+    p_leaf, p_flat = params, params
+    s_leaf, s_flat = tx_leaf.init(params), tx_flat.init(params)
+    for step in range(3):
+        grads = jax.tree_util.tree_map(
+            lambda p: 0.1 * (p + step), params
+        )
+        u, s_leaf = tx_leaf.update(grads, s_leaf, p_leaf)
+        p_leaf = optax.apply_updates(p_leaf, u)
+        u, s_flat = tx_flat.update(grads, s_flat, p_flat)
+        p_flat = optax.apply_updates(p_flat, u)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p_leaf, p_flat,
+    )
+
+
+def test_flatten_optimizer_rejects_muon_and_freeze():
+    from mdhs_tpu.train.optim import make_optimizer
+
+    with pytest.raises(ValueError):
+        make_optimizer("Muon", 1e-3, None, flatten=True)
+    with pytest.raises(ValueError):
+        make_optimizer("Adam", 1e-3, None, freeze_mask={"w": True}, flatten=True)
+
+
+def test_trainer_flatten_gate(tmp_path):
+    """training.flatten_optimizer=True end-to-end: single-device Trainer
+    builds, steps, and the loss matches the default per-leaf run exactly."""
+    import yaml
+
+    from mdhs_tpu.core.config import Config
+    from mdhs_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
+    from mdhs_tpu.train.trainer import Trainer
+
+    paths = generate_synthetic_dataset(str(tmp_path / "d"), num_images=8,
+                                       image_size=32)
+    losses = {}
+    for flat in (False, True):
+        cd = synthetic_config(paths, str(tmp_path), num_epochs=1)
+        cd["data"]["image_size"] = 32
+        cd["data"]["canvas"] = 40
+        cd["training"]["flatten_optimizer"] = flat
+        tr = Trainer(Config(cd), output_dir=str(tmp_path / f"run{flat}"))
+        step = tr.train_step_fn()
+        jb = tr._device_batch(next(iter(tr.train_loader)))
+        state, metrics = step(tr.state, jb, jax.random.PRNGKey(0))
+        losses[flat] = float(metrics["loss"])
+    assert losses[True] == pytest.approx(losses[False], abs=1e-6)
