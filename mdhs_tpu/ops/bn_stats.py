@@ -34,6 +34,7 @@ the two-pass formulation's backward).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +53,9 @@ _INTERPRET = False  # tests: run the kernel in Pallas interpret mode on CPU
 # input (far exceeding the saved HBM pass); the trainer-side knob must not
 # enable it when mesh.size > 1 (a shard_map wrapper with a psum'd Chan
 # combine is the multi-device path if ever needed).
-ENABLED = False
+# MDHS_BN_STATS_KERNEL=1 flips the default at import (expert/bench knob —
+# the single-device caveat above applies; benchmarks A/B it via env).
+ENABLED = os.environ.get("MDHS_BN_STATS_KERNEL", "0") == "1"
 
 
 def use_kernel(x_shape, dtype) -> bool:
