@@ -123,9 +123,14 @@ def test_tta_variants_geometry():
     assert v.shape == (4, 2, 4, 4, 1)
     np.testing.assert_array_equal(np.asarray(v[1]), np.asarray(img)[:, :, ::-1])
     np.testing.assert_array_equal(np.asarray(v[2]), np.asarray(img)[:, ::-1])
-    # rot90 applied twice = vflip+hflip
-    r = np.asarray(v[3])
-    assert r.shape == (2, 4, 4, 1)
+    # rot90 must match torch.rot90(k=1, dims=(-2,-1)) on the NCHW tensor
+    # (reference _apply_tta, scripts/predict.py:33-42) — pin against torch
+    # so the direction convention can't silently flip.
+    import torch
+
+    nchw = torch.from_numpy(np.asarray(img)).permute(0, 3, 1, 2)
+    expected = torch.rot90(nchw, k=1, dims=(-2, -1)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_array_equal(np.asarray(v[3]), expected)
 
 
 def test_tta_fused_equals_looped():

@@ -180,6 +180,14 @@ import jax
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 8, len(jax.devices())
 
+# Establish the Gloo pairs with a trivial barrier BEFORE any heavy compile:
+# pair connects happen lazily at the FIRST collective, so if one rank is
+# still inside a minutes-long trainer compile when the other reaches its
+# first psum, the peer's 30s connect timeout fails the whole run. Here both
+# ranks are milliseconds apart; the established pairs are reused afterwards.
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("pair-warmup")
+
 from mdhs_tpu.core.config import Config
 from mdhs_tpu.data.synthetic import synthetic_config
 from mdhs_tpu.train.trainer import Trainer
