@@ -67,6 +67,7 @@ class BaselineConfig:
     global_local_enabled: bool = False
     global_local_crop_ratio: float = 0.6
     global_local_combine: str = "avg"
+    remat: str = "none"  # image-tower remat (core/remat.py); text via bert.remat
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
 
     @classmethod
@@ -111,6 +112,7 @@ class BaselineConfig:
             global_local_enabled=bool(gl.get("enabled", False)),
             global_local_crop_ratio=gl.get("crop_ratio", 0.6),
             global_local_combine=gl.get("combine", "avg"),
+            remat=str(cfg.get("training.remat", "none")),
             bert=bert or BertConfig(),
         )
 
@@ -129,6 +131,7 @@ class MultimodalBaselineModel(nn.Module):
             backbone=c.image_backbone,
             multi_scale=(c.fusion_type in ("multiscale", "hierarchical")),
             dtype=self.dtype,
+            remat=c.remat,
         )
         self.text_encoder = TextEncoder(c.bert, dtype=self.dtype)
 

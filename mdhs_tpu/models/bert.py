@@ -51,6 +51,14 @@ class BertConfig:
     #             softmax; measured SLOWER than XLA at seq<=512 here, kept
     #             for long-sequence configs).
     attention_impl: str = "auto"
+    # Rematerialization of encoder layers (training-memory knob,
+    # config: training.remat). "none" saves every intermediate (fastest
+    # backward, most HBM); "selective" saves only matmul outputs and
+    # recomputes attention scores / softmax / GELU / LayerNorm in the
+    # backward (flash-attention-like memory profile, ~VPU-only recompute);
+    # "full" saves only layer boundaries. Numerics-preserving: the forward
+    # values are identical, only what the backward reads is recomputed.
+    remat: str = "none"
 
     @classmethod
     def tiny(cls) -> "BertConfig":
@@ -326,10 +334,19 @@ class BertModel(nn.Module):
         # HF-style additive mask: 0 for attend, large negative for padding.
         attn_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
 
+        layer_cls = BertLayer
+        if c.remat != "none":
+            from ..core.remat import remat_policy
+
+            # static_argnums counts the module instance as arg 0, so
+            # `deterministic` (a trace-time Python bool) is argnum 3.
+            layer_cls = nn.remat(
+                BertLayer, policy=remat_policy(c.remat), static_argnums=(3,)
+            )
         all_hidden = [hidden]
         for i in range(c.num_hidden_layers):
-            hidden = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(
-                hidden, attn_bias, deterministic, attention_mask=attention_mask
+            hidden = layer_cls(c, dtype=self.dtype, name=f"layer_{i}")(
+                hidden, attn_bias, deterministic, attention_mask
             )
             all_hidden.append(hidden)
         return hidden, tuple(all_hidden)

@@ -44,10 +44,13 @@ class ConNexTClassifier(nn.Module):
     llm_hidden_dim: int = 3584
     bert: BertConfig = BertConfig()
     dtype: jnp.dtype = jnp.bfloat16
+    remat: str = "none"  # image-tower remat; text tower via bert.remat
 
     def setup(self):
         self.text_encoder = BertModel(self.bert, dtype=self.dtype)
-        self.image_encoder = ConvNeXt(variant=self.convnext_variant, dtype=self.dtype)
+        self.image_encoder = ConvNeXt(
+            variant=self.convnext_variant, dtype=self.dtype, remat=self.remat
+        )
         self.reduce_conv = nn.Conv(self.fusion_dim, (1, 1), dtype=self.dtype)
         self.textbased_cross_attention = ConvCrossAttention2D(self.fusion_dim, dtype=self.dtype)
         self.imagbased_cross_attention = ConvCrossAttention2D(self.fusion_dim, dtype=self.dtype)

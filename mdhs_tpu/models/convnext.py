@@ -40,6 +40,8 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from jax.ad_checkpoint import checkpoint_name
+
         h = nn.Conv(
             self.dim,
             (7, 7),
@@ -48,6 +50,9 @@ class ConvNeXtBlock(nn.Module):
             dtype=self.dtype,
             name="dwconv",
         )(x)
+        # saved under the "selective" remat policy (core/remat.py); the
+        # LN/GELU between the saved dwconv and pwconv outputs is recomputed
+        h = checkpoint_name(h, "conv_out")
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
         h = exact_gelu(h)  # erf-GELU (poly-tanh form on bf16, ops/gelu.py)
@@ -71,12 +76,13 @@ class ConvNeXtEncoder(nn.Module):
     output_dim: int = 768
     variant: str = "large"
     dtype: jnp.dtype = jnp.bfloat16
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feat = ConvNeXt(variant=self.variant, dtype=self.dtype, name="backbone")(
-            x, train=train
-        )
+        feat = ConvNeXt(
+            variant=self.variant, dtype=self.dtype, remat=self.remat, name="backbone"
+        )(x, train=train)
         pooled = feat.mean(axis=(1, 2))  # timm forward_features + GAP semantics
         return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(pooled)
 
@@ -106,10 +112,16 @@ class ConvNeXt(nn.Module):
 
     variant: str = "base"
     dtype: jnp.dtype = jnp.bfloat16
+    remat: str = "none"  # see core/remat.py; numerics-preserving memory knob
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         depths, dims = CONVNEXT_SPECS[self.variant]
+        block_cls = ConvNeXtBlock
+        if self.remat != "none":
+            from ..core.remat import remat_policy
+
+            block_cls = nn.remat(ConvNeXtBlock, policy=remat_policy(self.remat))
         x = x.astype(self.dtype)
         # Stem: 4x4 stride-4 patchify + LN
         x = nn.Conv(dims[0], (4, 4), (4, 4), dtype=self.dtype, name="stem_conv")(x)
@@ -119,5 +131,5 @@ class ConvNeXt(nn.Module):
                 x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"ds{stage}_norm")(x)
                 x = nn.Conv(dim, (2, 2), (2, 2), dtype=self.dtype, name=f"ds{stage}_conv")(x)
             for blk in range(depth):
-                x = ConvNeXtBlock(dim, dtype=self.dtype, name=f"stage{stage}_block{blk}")(x)
+                x = block_cls(dim, dtype=self.dtype, name=f"stage{stage}_block{blk}")(x)
         return x

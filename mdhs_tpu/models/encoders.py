@@ -26,11 +26,14 @@ class ImageTokenEncoder(nn.Module):
     backbone: str = "resnet18"
     multi_scale: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, H, W, 3) NHWC. Returns (tokens, taps)."""
-        taps = ResNet(backbone=self.backbone, dtype=self.dtype, name="trunk")(x, train=train)
+        taps = ResNet(
+            backbone=self.backbone, dtype=self.dtype, remat=self.remat, name="trunk"
+        )(x, train=train)
 
         def flatten(feat):
             B, H, W, C = feat.shape

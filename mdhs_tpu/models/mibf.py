@@ -25,11 +25,12 @@ class MIBFNet(nn.Module):
     num_labels: int = 6
     bert: BertConfig = BertConfig()
     dtype: jnp.dtype = jnp.bfloat16
+    remat: str = "none"  # image-tower remat; text tower via bert.remat
 
     def setup(self):
         self.text_encoder = BertModel(self.bert, dtype=self.dtype)
         self.image_encoder = ResNetClassifier(
-            backbone="resnet50", num_outputs=768, dtype=self.dtype
+            backbone="resnet50", num_outputs=768, dtype=self.dtype, remat=self.remat
         )
         self.textbased_cross_attention = JointKVCrossAttention(
             dim=768, num_heads=1, dtype=self.dtype

@@ -21,10 +21,18 @@ from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .norm import TorchBatchNorm
 
 ModuleDef = Any
+
+
+def _conv_out(y):
+    """Tag a conv output for the "selective" remat policy (core/remat.py):
+    under remat the tagged value is saved and BN/ReLU are recomputed from
+    it in the backward. Identity outside a remat context."""
+    return checkpoint_name(y, "conv_out")
 
 
 class BasicBlock(nn.Module):
@@ -38,15 +46,15 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv1")(x)
+        y = _conv_out(self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv1")(x))
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), name="conv2")(y)
+        y = _conv_out(self.conv(self.filters, (3, 3), name="conv2")(y))
         y = self.norm(name="bn2")(y)
         if residual.shape != y.shape:
-            residual = self.conv(
+            residual = _conv_out(self.conv(
                 self.filters, (1, 1), (self.strides, self.strides), name="downsample_conv"
-            )(x)
+            )(x))
             residual = self.norm(name="downsample_bn")(residual)
         return nn.relu(y + residual)
 
@@ -63,21 +71,21 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (1, 1), name="conv1")(x)
+        y = _conv_out(self.conv(self.filters, (1, 1), name="conv1")(x))
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv2")(y)
+        y = _conv_out(self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv2")(y))
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
-        y = self.conv(self.filters * self.expansion, (1, 1), name="conv3")(y)
+        y = _conv_out(self.conv(self.filters * self.expansion, (1, 1), name="conv3")(y))
         y = self.norm(name="bn3")(y)
         if residual.shape != y.shape:
-            residual = self.conv(
+            residual = _conv_out(self.conv(
                 self.filters * self.expansion,
                 (1, 1),
                 (self.strides, self.strides),
                 name="downsample_conv",
-            )(x)
+            )(x))
             residual = self.norm(name="downsample_bn")(residual)
         return nn.relu(y + residual)
 
@@ -121,6 +129,7 @@ class ResNet(nn.Module):
 
     backbone: str = "resnet18"
     dtype: jnp.dtype = jnp.bfloat16
+    remat: str = "none"  # see core/remat.py; numerics-preserving memory knob
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -138,6 +147,10 @@ class ResNet(nn.Module):
             dtype=self.dtype,
         )
         block_cls = BLOCK_CLS[self.backbone]
+        if self.remat != "none":
+            from ..core.remat import remat_policy
+
+            block_cls = nn.remat(block_cls, policy=remat_policy(self.remat))
         stage_sizes = STAGE_SIZES[self.backbone]
 
         x = x.astype(self.dtype)
@@ -180,10 +193,13 @@ class ResNetClassifier(nn.Module):
     backbone: str = "resnet50"
     num_outputs: int = 768
     dtype: jnp.dtype = jnp.bfloat16
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        taps = ResNet(backbone=self.backbone, dtype=self.dtype, name="trunk")(x, train)
+        taps = ResNet(
+            backbone=self.backbone, dtype=self.dtype, remat=self.remat, name="trunk"
+        )(x, train)
         pooled = jnp.mean(taps["layer4"], axis=(1, 2))
         out = nn.Dense(self.num_outputs, dtype=self.dtype, name="fc")(pooled)
         return out, taps

@@ -73,14 +73,15 @@ def bert_config_from(cfg: Config, vocab_size: int) -> BertConfig:
     preset = cfg.get("model.text_encoder.preset", "base")
     fast = bool(cfg.get("model.fast_math", False))
     impl = cfg.get("model.text_encoder.attention_impl", "auto")
+    remat = str(cfg.get("training.remat", "none"))
     if preset == "tiny":
         base = BertConfig.tiny()
         return dataclasses.replace(
             base, vocab_size=max(vocab_size, base.vocab_size), fast_math=fast,
-            attention_impl=impl,
+            attention_impl=impl, remat=remat,
         )
     return BertConfig(vocab_size=max(vocab_size, 30522), fast_math=fast,
-                      attention_impl=impl)
+                      attention_impl=impl, remat=remat)
 
 
 def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype=None):
@@ -89,12 +90,21 @@ def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype
 
         dtype = DTypePolicy.from_config(cfg).compute_dtype
     bert = bert_config_from(cfg, tokenizer.vocab_size)
+    # Training-memory knob (training.remat: none|selective|full, core/remat.py).
+    # Threaded to both towers; eval-only jits are unaffected (remat only
+    # changes what the backward saves).
+    remat = str(cfg.get("training.remat", "none"))
+    from ..core.remat import VALID_MODES
+
+    if remat not in VALID_MODES:
+        raise ValueError(f"training.remat={remat!r}: expected one of {VALID_MODES}")
     if family == "baseline":
         mc = BaselineConfig.from_config(cfg, tabular_input_dim=tabular_dim, bert=bert)
         return MultimodalBaselineModel(mc, dtype=dtype)
     if family == "mibf":
         return MIBFNet(
-            num_labels=cfg.get("model.num_classes", 6), bert=bert, dtype=dtype
+            num_labels=cfg.get("model.num_classes", 6), bert=bert, dtype=dtype,
+            remat=remat,
         )
     if family == "connext":
         moe = cfg.get("model.moe", {})
@@ -108,6 +118,7 @@ def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype
             use_mamba_fusion=bool(cfg.get("model.mamba_fusion.enabled", False)),
             bert=bert,
             dtype=dtype,
+            remat=remat,
         )
     raise ValueError(f"unknown model family: {family}")
 

@@ -89,7 +89,9 @@ def test_mha_parity_vs_torch(cross):
     ref = ref.numpy()
 
     params = convert_torch_mha(to_np(tm.state_dict()), embed_dim=E)
-    ours = MultiHeadAttention(E, H, dropout=0.0, kdim=kdim, vdim=kdim, dtype=jnp.float32)
+    # kdim/vdim are torch-side only: Flax Dense infers the k/v input dims
+    # from the operand shapes (the module's former kdim/vdim fields were dead)
+    ours = MultiHeadAttention(E, H, dropout=0.0, dtype=jnp.float32)
     out = ours.apply(
         {"params": jax.tree_util.tree_map(jnp.asarray, params)},
         jnp.asarray(q), jnp.asarray(kv), jnp.asarray(kv),
