@@ -42,6 +42,37 @@ from mdhs_tpu.ops.preprocess import eval_pipeline
 
 A100_PYTORCH_REF_IPS = 500.0  # see module docstring for the derivation
 
+
+def wait_for_backend(max_tries: int = 3, probe_timeout: int = 150, sleep_s: int = 30):
+    """Ride out a transient TPU-tunnel outage before starting the bench.
+
+    Round 3's scored run died at backend init ('Unable to initialize
+    backend axon: UNAVAILABLE'). Probe in a SUBPROCESS so a failed init
+    can't poison this process's cached backend state; once a probe
+    succeeds, in-process init follows the same (now healthy) path.
+    """
+    import subprocess
+    import sys
+
+    last = ""
+    for i in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=probe_timeout,
+            )
+            if r.returncode == 0:
+                return
+            last = r.stderr[-500:]
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {probe_timeout}s"
+        if i < max_tries - 1:
+            time.sleep(sleep_s)
+    print(
+        f"warning: backend probe never succeeded ({last})",
+        file=sys.stderr, flush=True,
+    )
+
 SEQ_LEN = 128
 CANVAS = 256
 IMAGE_SIZE = 224
@@ -122,6 +153,7 @@ def measure_p50_latency(fast_math: bool) -> float:
 
 
 def main():
+    wait_for_backend()
     # Scored number: the DEFAULT exact-parity mode (fast_math=False — f32
     # softmax + exact GELU, bit-parity-tested vs HF in
     # tests/test_torch_parity.py). normalize=False matches the MIBF reference

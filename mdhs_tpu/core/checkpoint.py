@@ -96,7 +96,9 @@ class TopKCheckpointManager:
                         if os.path.exists(p):
                             self.entries.append((float(e["metric"]), p))
                 self.entries.sort(key=lambda e: e[0], reverse=True)
-            except (ValueError, KeyError) as exc:
+            except (ValueError, KeyError, TypeError) as exc:
+                # TypeError: corrupt index values (e.g. "metric": null) or a
+                # non-list JSON document; resume must tolerate these too.
                 log.warning("ignoring unreadable checkpoints.json: %s", exc)
 
     def maybe_save(self, epoch: int, metric: float, state: dict) -> Optional[str]:

@@ -116,6 +116,11 @@ _SAFE_SINGLES = frozenset(
 def _native_tokenizer_safe(text: str) -> bool:
     for ch in text:
         cp = ord(ch)
+        # 0xB5 (µ) and 0x17F (ſ) lowercase CROSS-BLOCK in Python/HF
+        # (µ→μ U+03BC, ſ→s) while the C latin_lower table keeps them
+        # in-block — route those texts to the Python fallback.
+        if cp == 0xB5 or cp == 0x17F:
+            return False
         if cp < 0x180 or 0x300 <= cp <= 0x36F or 0x2000 <= cp <= 0x200A:
             continue
         if (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF

@@ -66,6 +66,12 @@ def use_kernel(x_shape, dtype) -> bool:
         return False
     if not (_INTERPRET or jax.default_backend() == "tpu"):
         return False
+    # Single-device scope only (see module comment): under a >1-device
+    # data-sharded mesh GSPMD treats the pallas_call as replicated and
+    # all-gathers the BN input — far worse than the saved HBM pass. Hard
+    # guard here so the env knob cannot regress multi-chip training.
+    if len(jax.devices()) > 1 or jax.process_count() > 1:
+        return False
     return supports(x_shape, dtype)
 
 

@@ -44,6 +44,24 @@ def test_topk_survives_restart(tmp_path):
     assert mgr2.maybe_save(4, 1.0, _state(1.0)) is None
 
 
+@pytest.mark.parametrize(
+    "corrupt",
+    [
+        '[{"path": "epoch_0_val_acc_10.00.msgpack", "metric": null}]',
+        '{"not": "a list"}',
+        "not json at all {",
+    ],
+)
+def test_corrupt_index_tolerated(tmp_path, corrupt):
+    # resume must survive an unreadable/corrupt checkpoints.json (null
+    # metric -> TypeError from float(None); non-list JSON -> TypeError on
+    # element access; bad JSON -> ValueError) instead of crashing
+    (tmp_path / "checkpoints.json").write_text(corrupt)
+    mgr = TopKCheckpointManager(str(tmp_path), k=3)
+    assert mgr.entries == []
+    assert mgr.maybe_save(0, 10.0, _state(10.0)) is not None
+
+
 def test_kan_bank_expert_count_guard():
     from mdhs_tpu.core.convert import _convert_kan_bank
 

@@ -24,7 +24,7 @@ VOCAB = [
     "un", "##aff", "##able", "##ward", "hello", "world", "cafe", "naive",
     "resume", "border", "irregular", "x", "##x", "1", "##2", "12", "中",
     "文", "斑", "skin", "der", "##mo", "##scopy", "color", "##ful",
-    "δ", "ss", "москва", "ist",
+    "δ", "ss", "москва", "ist", "μg", "weiss",
 ]
 
 TEXTS = [
@@ -52,6 +52,11 @@ TEXTS = [
     "cafe\u0301 nai\u0308ve",                # DECOMPOSED accents (NFD input)
     "\u2126hm hello \u212bngstrom",          # OHM/ANGSTROM compatibility chars
     "hello\u00a0world\u2009again",           # NBSP + thin space (Zs)
+    # Cross-block lowercasing inside the Latin-1/Ext-A range: \u00b5\u2192\u03bc (U+03BC)
+    # and \u017f\u2192s. The native safe-gate must route these to the Python fallback
+    # even though both codepoints sit below 0x180.
+    "5\u00b5g hello",                        # MICRO SIGN: \u00b5g -> \u03bcg
+    "wei\u017f\u017f hello \u017fs",         # LONG S: wei\u017f\u017f -> weiss, \u017fs -> ss
 ]
 
 
