@@ -46,9 +46,14 @@ __all__ = ["bn_stats", "bn_stats_reference", "supports", "use_kernel"]
 _VMEM_BLOCK_ELEMS = 1 << 19  # 512k elements/block: <=2MB bf16 in, 2MB f32 local
 _INTERPRET = False  # tests: run the kernel in Pallas interpret mode on CPU
 # Production gate (consulted by models/norm.py via use_kernel()).
-# Currently OFF pending on-chip Mosaic/speed validation — flip after
-# measuring with benchmarks/bn_stats_check.py + train_profile on the real
-# chip. NOTE: single-device scope only — under a data-sharded jit mesh,
+# MEASURED (v5e, benchmarks/bn_stats_check.py, round 4): the kernel is
+# numerically right (<=2.4e-5 vs two-pass) but SLOWER than XLA's two-pass
+# at every ResNet50 batch-128 shape (0.44x at the stem, 0.76-0.96x
+# elsewhere) — XLA keeps these reductions fused with the producing conv,
+# so the "saved HBM pass" never existed on the real schedule. The gate
+# therefore stays OFF in production; the kernel remains as a tested
+# reference for shapes where the producer cannot fuse (e.g. BN directly
+# on a loader output). NOTE: single-device scope only — under a data-sharded jit mesh,
 # GSPMD treats the pallas_call as replicated and would all-gather the BN
 # input (far exceeding the saved HBM pass); the trainer-side knob must not
 # enable it when mesh.size > 1 (a shard_map wrapper with a psum'd Chan
