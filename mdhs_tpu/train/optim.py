@@ -237,26 +237,66 @@ def _muon(lr_schedule, cfg):
     )
 
 
+BUCKET_THRESHOLD_ELEMS = 1 << 17  # 512 KB f32: biases/LN/BN/small 1x1 convs
+
+
+def bucketed_flatten(make_tx, threshold_elems: int = BUCKET_THRESHOLD_ELEMS):
+    """Flatten only the SMALL leaves (< threshold_elems) into one vector.
+
+    The per-leaf update costs one XLA fusion per leaf (~320 for MIBF, each
+    with fixed scheduling overhead); full optax.flatten removes the
+    overhead but pays extra HBM passes over the entire 540 MB tree for the
+    flatten/unflatten concats (measured net LOSS through the real step —
+    docs/TRAIN_PERF.md). The long tail of small leaves (biases, LN/BN
+    scales) is most of the leaf COUNT but ~1% of the bytes, so flattening
+    only those removes most fusions while copying a few MB.
+
+    Built as optax.multi_transform over size-derived labels; the "small"
+    branch is optax.flatten(tx) (optax.MaskedNode leaves are empty pytrees,
+    so ravel_pytree skips the big leaves). Elementwise transforms only:
+    per-element math is unchanged — bit-identical on CPU
+    (tests/test_optim.py::test_bucketed_optimizer_matches_per_leaf); on
+    TPU, XLA's fusion-dependent FMA contraction may round differently by
+    ≤1 ulp (docs/TRAIN_PERF.md "Optimizer knob summary").
+
+    make_tx: zero-arg factory — multi_transform needs an independent
+    instance per branch.
+    """
+    def labels(tree):
+        return jax.tree_util.tree_map(
+            lambda leaf: "small" if leaf.size < threshold_elems else "big", tree
+        )
+
+    return optax.multi_transform(
+        {"small": optax.flatten(make_tx()), "big": make_tx()}, labels
+    )
+
+
 def make_optimizer(name: str, lr_schedule, cfg=None, freeze_mask=None,
-                   flatten: bool = False):
+                   flatten=False):
     """Build optimizer by reference name (Adam/AdamW/SGD/Muon; train.py:255-309).
 
     freeze_mask: pytree of bools (True = trainable). Frozen params get
     zero updates (reference freezes encoders via requires_grad=False,
     train.py:214-219).
 
-    flatten: wrap in optax.flatten — the update runs on ONE flat vector
-    instead of one XLA fusion per leaf (~320 for MIBF; measured 11.7 ms vs
-    a ~4.6 ms HBM roofline, docs/TRAIN_PERF.md). Identical math for the
-    elementwise optimizers; invalid for Muon (per-matrix orthogonalization
-    needs leaf shapes) and for masked freezing (the bool tree no longer
-    aligns), so the Trainer gates it — misuse raises here.
+    flatten: False | True | "bucketed". True wraps in optax.flatten — the
+    update runs on ONE flat vector instead of one XLA fusion per leaf
+    (~320 for MIBF); measured a net LOSS through the real step (the
+    full-tree flatten/unflatten copies outweigh the saved fusions,
+    docs/TRAIN_PERF.md). "bucketed" flattens only the small leaves — see
+    bucketed_flatten. Identical math for the elementwise optimizers;
+    invalid for Muon (per-matrix orthogonalization needs leaf shapes) and
+    for masked freezing (the bool tree no longer aligns), so the Trainer
+    gates it — misuse raises here.
     """
     if flatten and (freeze_mask is not None or name.lower() == "muon"):
         raise ValueError(
             "flatten_optimizer is incompatible with Muon and with frozen "
             "encoders (per-leaf structure is required)"
         )
+    if flatten == "bucketed":
+        return bucketed_flatten(lambda: OPTIMIZERS.get(name.lower())(lr_schedule, cfg))
     tx = OPTIMIZERS.get(name.lower())(lr_schedule, cfg)
     if flatten:
         return optax.flatten(tx)

@@ -478,16 +478,19 @@ class Trainer:
                 kan_state = global_put_tree(kan_state, rep)
 
         self.freeze_mask = _freeze_mask(params, self.cfg, self.family)
-        # Flat-vector optimizer update (one fusion instead of one per leaf;
-        # docs/TRAIN_PERF.md). Only when the per-leaf structure is not
-        # load-bearing: elementwise optimizer, nothing frozen, and a
-        # single-device mesh (opt_state_shardings mirrors param paths).
-        flatten = (
-            bool(self.cfg.get("training.flatten_optimizer", False))
-            and self.freeze_mask is None
+        # Flat-vector optimizer update (fewer fusions than one per leaf;
+        # docs/TRAIN_PERF.md): False | True (full optax.flatten) |
+        # "bucketed" (flatten small leaves only). Only when the per-leaf
+        # structure is not load-bearing: elementwise optimizer, nothing
+        # frozen, and a single-device mesh (opt_state_shardings mirrors
+        # param paths).
+        flatten = self.cfg.get("training.flatten_optimizer", False)
+        if not (
+            self.freeze_mask is None
             and self._opt_name.lower() in ("adam", "adamw", "sgd")
             and self.mesh.size == 1
-        )
+        ):
+            flatten = False
         self.tx = make_optimizer(self._opt_name, self.lr_schedule, self.cfg,
                                  self.freeze_mask, flatten=flatten)
         if self.mesh.size > 1:

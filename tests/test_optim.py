@@ -217,6 +217,35 @@ def test_flatten_optimizer_matches_per_leaf():
     )
 
 
+def test_bucketed_optimizer_matches_per_leaf():
+    """bucketed_flatten (small leaves -> one vector via multi_transform,
+    big leaves per-leaf) must stay bit-identical to per-leaf adam: the
+    threshold here splits the tree so BOTH branches are exercised."""
+    import optax
+
+    from mdhs_tpu.train.optim import bucketed_flatten
+
+    params = {
+        "enc": {"w": jnp.linspace(-1, 1, 12).reshape(3, 4), "b": jnp.ones((4,))},
+        "head": {"w": jnp.full((4, 2), 0.5)},
+    }
+    tx_leaf = optax.adam(1e-3)
+    tx_bkt = bucketed_flatten(lambda: optax.adam(1e-3), threshold_elems=10)
+
+    p_leaf, p_bkt = params, params
+    s_leaf, s_bkt = tx_leaf.init(params), tx_bkt.init(params)
+    for step in range(3):
+        grads = jax.tree_util.tree_map(lambda p: 0.1 * (p + step), params)
+        u, s_leaf = tx_leaf.update(grads, s_leaf, p_leaf)
+        p_leaf = optax.apply_updates(p_leaf, u)
+        u, s_bkt = tx_bkt.update(grads, s_bkt, p_bkt)
+        p_bkt = optax.apply_updates(p_bkt, u)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p_leaf, p_bkt,
+    )
+
+
 def test_flatten_optimizer_rejects_muon_and_freeze():
     from mdhs_tpu.train.optim import make_optimizer
 
@@ -238,7 +267,7 @@ def test_trainer_flatten_gate(tmp_path):
     paths = generate_synthetic_dataset(str(tmp_path / "d"), num_images=8,
                                        image_size=32)
     losses = {}
-    for flat in (False, True):
+    for flat in (False, True, "bucketed"):
         cd = synthetic_config(paths, str(tmp_path), num_epochs=1)
         cd["data"]["image_size"] = 32
         cd["data"]["canvas"] = 40
@@ -249,6 +278,7 @@ def test_trainer_flatten_gate(tmp_path):
         state, metrics = step(tr.state, jb, jax.random.PRNGKey(0))
         losses[flat] = float(metrics["loss"])
     assert losses[True] == pytest.approx(losses[False], abs=1e-6)
+    assert losses["bucketed"] == pytest.approx(losses[False], abs=1e-6)
 
 
 def test_muon_differential_vs_torch_twin():
