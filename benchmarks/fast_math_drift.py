@@ -56,6 +56,8 @@ def main():
         ("bf16 exact xla", mk(attention_impl="xla"), jnp.bfloat16),
         ("bf16 fast_math xla (bf16 softmax + tanh-GELU)",
          mk(fast_math=True, attention_impl="xla"), jnp.bfloat16),
+        ("bf16 int8 a8w8 (quantize='int8' serving preset)",
+         mk(quantize="int8"), jnp.bfloat16),
     ]:
         h, cls = run(cfg, dtype)
         print(f"{name}: CLS max|d|={np.max(np.abs(cls - cls_ref)):.3e} "

@@ -51,6 +51,17 @@ class BertConfig:
     #             softmax; measured SLOWER than XLA at seq<=512 here, kept
     #             for long-sequence configs).
     attention_impl: str = "auto"
+    # Serving quantization (config knob model.text_encoder.quantize):
+    #   "none" — exact-parity bf16 path (default; the scored bench mode).
+    #   "int8" — a8w8 dynamic quantization of the six per-layer matmuls
+    #            (QKV, attention output, FFN in/out) on the int8 MXU
+    #            (2x bf16 FLOP rate on v5e). Per-row activation scales,
+    #            per-channel weight scales (ops/quant.py); softmax stays
+    #            f32, LayerNorm/GELU/embeddings stay bf16. Eval-only: the
+    #            knob is ignored when deterministic=False. Accuracy drift
+    #            measured in benchmarks/fast_math_drift.py --quantize and
+    #            documented in PARITY.md ("int8 serving preset").
+    quantize: str = "none"
     # Rematerialization of encoder layers (training-memory knob,
     # config: training.remat). "none" saves every intermediate (fastest
     # backward, most HBM); "selective" saves only matmul outputs and
@@ -216,6 +227,40 @@ class BertLayer(nn.Module):
         c = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name=name)
         head_dim = c.hidden_size // c.num_attention_heads
+        if c.quantize == "int8" and deterministic:
+            # a8w8 serving path: the six matmuls run on the int8 MXU; the
+            # attention core (scores/softmax/context, ~3% of layer FLOPs)
+            # and LayerNorms keep the exact-path semantics. Same param tree
+            # as every other attention_impl mode (checkpoints interchange).
+            from ..ops.gelu import exact_gelu
+            from ..ops.quant import int8_dense
+
+            (qk, qb), (kk, kb), (vk, vb) = BertSelfAttention(
+                c, dtype=self.dtype, name="attention"
+            )(hidden, attn_bias, deterministic, qkv_params_only=True)
+            ow, ob = _DenseParams(c.hidden_size, name="attention_output")(c.hidden_size)
+            dt = self.dtype
+            q = int8_dense(hidden, qk, qb, dt)
+            k = int8_dense(hidden, kk, kb, dt)
+            v = int8_dense(hidden, vk, vb, dt)
+
+            def split(x):
+                return x.reshape(*x.shape[:-1], c.num_attention_heads, head_dim)
+
+            q, k, v = split(q), split(k), split(v)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            scores = scores / jnp.sqrt(head_dim).astype(jnp.float32) + attn_bias
+            probs = nn.softmax(scores, axis=-1).astype(dt)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            ctx = ctx.reshape(*hidden.shape[:-1], c.hidden_size)
+            hidden = ln("attention_layernorm")(hidden + int8_dense(ctx, ow, ob, dt))
+
+            w1, b1 = _DenseParams(c.intermediate_size, name="intermediate")(c.hidden_size)
+            w2, b2 = _DenseParams(c.hidden_size, name="output")(c.intermediate_size)
+            inter = int8_dense(hidden, w1, b1, dt)
+            inter = nn.gelu(inter, approximate=True) if c.fast_math else exact_gelu(inter)
+            out = int8_dense(inter, w2, b2, dt)
+            return ln("output_layernorm")(hidden + out)
         # Fused sublayer kernels are an EVAL win (1.43x fwd) but a fwd+bwd
         # LOSS (their custom-VJP recompute measured 100 vs 70 ms/step for
         # BERT-base B=128 on v5e), so they gate on `deterministic`, not on

@@ -73,15 +73,16 @@ def bert_config_from(cfg: Config, vocab_size: int) -> BertConfig:
     preset = cfg.get("model.text_encoder.preset", "base")
     fast = bool(cfg.get("model.fast_math", False))
     impl = cfg.get("model.text_encoder.attention_impl", "auto")
+    quant = str(cfg.get("model.text_encoder.quantize", "none"))
     remat = str(cfg.get("training.remat", "none"))
     if preset == "tiny":
         base = BertConfig.tiny()
         return dataclasses.replace(
             base, vocab_size=max(vocab_size, base.vocab_size), fast_math=fast,
-            attention_impl=impl, remat=remat,
+            attention_impl=impl, quantize=quant, remat=remat,
         )
     return BertConfig(vocab_size=max(vocab_size, 30522), fast_math=fast,
-                      attention_impl=impl, remat=remat)
+                      attention_impl=impl, quantize=quant, remat=remat)
 
 
 def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype=None):
