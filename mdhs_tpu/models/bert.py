@@ -232,31 +232,57 @@ class BertLayer(nn.Module):
             # attention core (scores/softmax/context, ~3% of layer FLOPs)
             # and LayerNorms keep the exact-path semantics. Same param tree
             # as every other attention_impl mode (checkpoints interchange).
+            # On TPU with supported shapes the sublayers run as fused Pallas
+            # kernels (ops/quant_kernel.py) — the quantize/dequant passes
+            # that made the XLA int8 path SLOWER than bf16 stay in VMEM;
+            # otherwise falls back to the XLA int8 composite (ops/quant.py).
+            from ..ops import quant_kernel as _qk
             from ..ops.gelu import exact_gelu
             from ..ops.quant import int8_dense
 
+            B, L, Hd = hidden.shape
+            dt = self.dtype
+            on_tpu = jax.default_backend() == "tpu"
+            act = "tanh" if c.fast_math else "erf"
             (qk, qb), (kk, kb), (vk, vb) = BertSelfAttention(
                 c, dtype=self.dtype, name="attention"
             )(hidden, attn_bias, deterministic, qkv_params_only=True)
             ow, ob = _DenseParams(c.hidden_size, name="attention_output")(c.hidden_size)
-            dt = self.dtype
-            q = int8_dense(hidden, qk, qb, dt)
-            k = int8_dense(hidden, kk, kb, dt)
-            v = int8_dense(hidden, vk, vb, dt)
+            if on_tpu and _qk.attn_supports(dt, L, c.hidden_size, c.num_attention_heads):
+                g, b = _LayerNormParams(name="attention_layernorm")(c.hidden_size)
+                wqkv = jnp.concatenate([qk, kk, vk], axis=1)
+                bqkv = jnp.concatenate([qb, kb, vb])
+                bias2d = attn_bias.reshape(B, L)
+                hidden = _qk.int8_attention_block(
+                    hidden, wqkv, bqkv, ow, ob, g, b, bias2d,
+                    c.num_attention_heads, float(head_dim) ** -0.5,
+                    c.layer_norm_eps,
+                )
+            else:
+                q = int8_dense(hidden, qk, qb, dt)
+                k = int8_dense(hidden, kk, kb, dt)
+                v = int8_dense(hidden, vk, vb, dt)
 
-            def split(x):
-                return x.reshape(*x.shape[:-1], c.num_attention_heads, head_dim)
+                def split(x):
+                    return x.reshape(*x.shape[:-1], c.num_attention_heads, head_dim)
 
-            q, k, v = split(q), split(k), split(v)
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-            scores = scores / jnp.sqrt(head_dim).astype(jnp.float32) + attn_bias
-            probs = nn.softmax(scores, axis=-1).astype(dt)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-            ctx = ctx.reshape(*hidden.shape[:-1], c.hidden_size)
-            hidden = ln("attention_layernorm")(hidden + int8_dense(ctx, ow, ob, dt))
+                q, k, v = split(q), split(k), split(v)
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+                scores = scores / jnp.sqrt(head_dim).astype(jnp.float32) + attn_bias
+                probs = nn.softmax(scores, axis=-1).astype(dt)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+                ctx = ctx.reshape(*hidden.shape[:-1], c.hidden_size)
+                hidden = ln("attention_layernorm")(hidden + int8_dense(ctx, ow, ob, dt))
 
             w1, b1 = _DenseParams(c.intermediate_size, name="intermediate")(c.hidden_size)
             w2, b2 = _DenseParams(c.hidden_size, name="output")(c.intermediate_size)
+            if on_tpu and _qk.supports(dt, B * L, Hd, c.intermediate_size):
+                g2, be2 = _LayerNormParams(name="output_layernorm")(c.hidden_size)
+                out2d = _qk.int8_ffn_block(
+                    hidden.reshape(B * L, Hd), w1, b1, w2, b2, g2, be2,
+                    c.layer_norm_eps, act,
+                )
+                return out2d.reshape(B, L, Hd)
             inter = int8_dense(hidden, w1, b1, dt)
             inter = nn.gelu(inter, approximate=True) if c.fast_math else exact_gelu(inter)
             out = int8_dense(inter, w2, b2, dt)

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -20,13 +22,18 @@ from .attention import MultiHeadAttention
 
 
 def sinusoidal_pe(seq_len: int, dim: int) -> jnp.ndarray:
-    pos = jnp.arange(seq_len, dtype=jnp.float32)[:, None]
-    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim))
-    pe = jnp.zeros((seq_len, dim), dtype=jnp.float32)
-    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    # Computed host-side in numpy: the table is a trace-time constant
+    # (seq_len/dim are Python ints at every call site) and the reference
+    # (torch sequence_blocks.py:49-56) computes it on CPU — TPU-device
+    # sin/cos approximations drift ~2.5e-5 from the CPU formula, which is
+    # visible parity noise for free on a constant.
+    pos = np.arange(seq_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, dim, 2, dtype=np.float32) * (-math.log(10000.0) / dim))
+    pe = np.zeros((seq_len, dim), dtype=np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
     # dim//2 cosine slots (one fewer than sine when dim is odd)
-    pe = pe.at[:, 1::2].set(jnp.cos(pos * div[: dim // 2]))
-    return pe
+    pe[:, 1::2] = np.cos(pos * div[: dim // 2])
+    return jnp.asarray(pe)
 
 
 class _RNNDirection(nn.Module):

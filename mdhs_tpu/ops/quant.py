@@ -15,18 +15,18 @@ exact-parity bf16. There is no reference counterpart (the reference
 serves fp32 torch).
 
 MEASURED (v5e, BERT-base B=128 L=128, 2026-08-19): this XLA-level a8w8
-path is SLOWER than the default bf16 serving path — 26.5 ms/iter vs
-19.5 ms (fused Pallas sublayers) and 21.8 ms (unfused XLA bf16).
-The unfused per-matmul activation-quantize passes (~25 MB read +
-12 MB write each, 72 matmuls) cost more HBM time than the 2x MXU
-rate saves at these shapes. Making int8 pay requires fusing
-quantize+matmul+dequant in one Pallas kernel (quantize the x tile in
-VMEM, int8 MXU dot, rescale in the epilogue) — see ops/quant_kernel.py
-if/when that lands. Until then the knob is a documented accuracy/speed
-experiment, not a recommendation. Logit drift (CLS mean |d| 2.5e-2 on
-scale 0.79, ~5x the bf16 noise floor) is recorded in docs/PARITY.md
-("int8 serving preset"); reproduce both numbers with
-benchmarks/fast_math_drift.py.
+composite is SLOWER than the default bf16 serving path — 26.5 ms/iter
+vs 19.5 ms (fused Pallas sublayers). The unfused per-matmul
+activation-quantize passes (~25 MB read + 12 MB write each, 72
+matmuls) cost more HBM time than the 2x MXU rate saves at these
+shapes. The fused Pallas sublayer kernels in ops/quant_kernel.py fix
+exactly that (quantize the x tile in VMEM, int8 MXU dot, rescale in
+the epilogue): with them the int8 preset runs 17.3 ms/iter vs 21.7 ms
+bf16 (1.26x). models/bert.py routes to the kernels on supported
+TPU shapes and falls back to this module elsewhere. Logit drift (CLS
+mean |d| 2.4e-2 on scale 0.79, ~5x the bf16 noise floor) is recorded
+in docs/PARITY.md ("int8 serving preset"); reproduce both numbers
+with benchmarks/fast_math_drift.py.
 """
 
 from __future__ import annotations
