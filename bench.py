@@ -81,10 +81,12 @@ K_STEPS = 8
 N_TIMED = 3
 
 
-def measure_throughput(fast_math: bool, batch: int) -> float:
+def measure_throughput(fast_math: bool, batch: int, quantize: str = "none") -> float:
     """Steady-state eval images/sec for one (mode, batch) point."""
     model = MIBFNet(
-        num_labels=NUM_CLASSES, bert=BertConfig(fast_math=fast_math), dtype=jnp.bfloat16
+        num_labels=NUM_CLASSES,
+        bert=BertConfig(fast_math=fast_math, quantize=quantize),
+        dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)
     images_u8 = jnp.asarray(
@@ -166,7 +168,10 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     ips = measure_throughput(fast_math=False, batch=batch)
     p50_ms = measure_p50_latency(fast_math=False)
-    serving_ips = measure_throughput(fast_math=True, batch=batch)
+    # Serving preset = fast_math + int8 a8w8 BERT tower (fused Pallas
+    # sublayer kernels, ops/quant_kernel.py). Both knobs are opt-in with
+    # measured drift documented in docs/PARITY.md; not scored.
+    serving_ips = measure_throughput(fast_math=True, batch=batch, quantize="int8")
 
     # Training throughput (VERDICT r2 #3): the real Trainer step — fused
     # aug + fwd + bwd + Adam — through benchmarks/train_bench.measure.

@@ -975,6 +975,67 @@ class Trainer:
             kan_state=self._replace_like(self.state.kan_state, ks),
         )
 
+    def _import_full_torch(self, path: str, sd: dict):
+        """Convert a raw torch full-model state dict (reference training
+        output / Lightning .ckpt) into this family's param tree and merge
+        it. Shared by config-driven `model.pretrained_path` loading and by
+        `load_weights` on non-msgpack paths (so the predict/evaluate CLIs
+        accept reference checkpoints directly — mirrors the reference
+        predict scripts loading torch checkpoints in place:
+        ConNexT/predict.py:53-57, mibf_net/predict_resnet.py:13-23)."""
+        import contextlib
+
+        from ..core.convert import (
+            convert_baseline_full,
+            convert_connext_full,
+            convert_mibf_full,
+        )
+
+        cfg = self.cfg
+
+        @contextlib.contextmanager
+        def convert_context(what):
+            try:
+                yield
+            except KeyError as exc:
+                raise ValueError(
+                    f"{path} does not look like a {what} state dict for the "
+                    f"'{self.family}' family (missing key {exc})"
+                ) from exc
+
+        if self.family == "mibf":
+            with convert_context("Resnet50WithOurs"):
+                p, s = convert_mibf_full(
+                    sd, num_bert_layers=self.model.bert.num_hidden_layers
+                )
+            self._merge_subtrees(p, s)
+        elif self.family == "baseline":
+            with convert_context("MultimodalBaselineModel"):
+                p, s = convert_baseline_full(
+                    sd,
+                    fusion_type=cfg.get("model.fusion_type", "basic"),
+                    classifier_type=cfg.get("model.classifier_type", "mlp"),
+                    backbone=cfg.get("model.image_encoder.backbone", "resnet18"),
+                    num_bert_layers=self.model.cfg.bert.num_hidden_layers,
+                )
+            self._merge_subtrees(p, s)
+        elif self.family == "connext":
+            # Lightning Model4AAAI_MoE / bare OurClassfierConvnextV2
+            # dicts — the reference's headline 93.41% HAM checkpoint
+            # path (ConNexT/predict.py:53-57)
+            with convert_context("ConNexT Model4AAAI_MoE"):
+                p, s, ks = convert_connext_full(
+                    sd,
+                    head=self.model.head,
+                    convnext_variant=self.model.convnext_variant,
+                    num_bert_layers=self.model.bert.num_hidden_layers,
+                    moe_num_experts=self.model.moe_num_experts,
+                    use_mamba_fusion=self.model.use_mamba_fusion,
+                )
+            self._merge_subtrees(p, s, ks)
+        else:
+            raise ValueError(f"full-model import not supported for {self.family}")
+
     def _load_pretrained(self):
         """Consume model.{image_encoder,text_encoder}.pretrained_path and
         model.pretrained_path (full model). Paths may be raw torch state
@@ -987,11 +1048,8 @@ class Trainer:
         if not (img_path or txt_path or full_path):
             return
         from ..core.convert import (
-            convert_baseline_full,
             convert_bert,
-            convert_connext_full,
             convert_convnext_any,
-            convert_mibf_full,
             convert_resnet,
             convert_resnet_classifier,
             load_torch_state_dict,
@@ -1018,38 +1076,8 @@ class Trainer:
             sd = load_sd(full_path)
             if sd is None:
                 self.load_weights(full_path)
-            elif self.family == "mibf":
-                with convert_context(full_path, "Resnet50WithOurs"):
-                    p, s = convert_mibf_full(
-                        sd, num_bert_layers=self.model.bert.num_hidden_layers
-                    )
-                self._merge_subtrees(p, s)
-            elif self.family == "baseline":
-                with convert_context(full_path, "MultimodalBaselineModel"):
-                    p, s = convert_baseline_full(
-                        sd,
-                        fusion_type=cfg.get("model.fusion_type", "basic"),
-                        classifier_type=cfg.get("model.classifier_type", "mlp"),
-                        backbone=cfg.get("model.image_encoder.backbone", "resnet18"),
-                        num_bert_layers=self.model.cfg.bert.num_hidden_layers,
-                    )
-                self._merge_subtrees(p, s)
-            elif self.family == "connext":
-                # Lightning Model4AAAI_MoE / bare OurClassfierConvnextV2
-                # dicts — the reference's headline 93.41% HAM checkpoint
-                # path (ConNexT/predict.py:53-57)
-                with convert_context(full_path, "ConNexT Model4AAAI_MoE"):
-                    p, s, ks = convert_connext_full(
-                        sd,
-                        head=self.model.head,
-                        convnext_variant=self.model.convnext_variant,
-                        num_bert_layers=self.model.bert.num_hidden_layers,
-                        moe_num_experts=self.model.moe_num_experts,
-                        use_mamba_fusion=self.model.use_mamba_fusion,
-                    )
-                self._merge_subtrees(p, s, ks)
             else:
-                raise ValueError(f"full-model import not supported for {self.family}")
+                self._import_full_torch(full_path, sd)
             log.info("loaded full pretrained model from %s", full_path)
 
         if img_path:
@@ -1099,6 +1127,16 @@ class Trainer:
             log.info("loaded pretrained text tower from %s", txt_path)
 
     def load_weights(self, path: str):
+        if not path.endswith(".msgpack"):
+            # Raw torch checkpoint (reference training output, Lightning
+            # .ckpt, .pth/.bin/.safetensors): convert in place by family,
+            # so `run_predict.py --model_path <reference ckpt>` works the
+            # way the reference predict scripts do.
+            from ..core.convert import load_torch_state_dict
+
+            self._import_full_torch(path, load_torch_state_dict(path))
+            log.info("converted + loaded torch weights from %s", path)
+            return
         loaded = load_checkpoint(path)
         params = merge_tolerant(
             flax.serialization.to_state_dict(self.state.params), loaded.get("params", {})

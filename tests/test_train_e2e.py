@@ -122,6 +122,30 @@ def test_checkpoint_roundtrip(synth, tmp_path):
     tr.load_weights(path)  # tolerant merge should be a no-op
 
 
+def test_load_weights_routes_torch_checkpoints(synth, tmp_path, monkeypatch):
+    """Non-.msgpack model paths (reference .pth / Lightning .ckpt) go
+    through the family torch converter, so the predict/evaluate CLIs accept
+    reference checkpoints in place (conversion math itself is pinned by
+    test_full_model_parity.py)."""
+    import torch
+
+    from mdhs_tpu.train.trainer import Trainer
+
+    root, paths = synth
+    cfg = make_cfg(root, paths)
+    cfg.set("training.num_epochs", 1)
+    tr = Trainer(cfg, family="baseline", output_dir=str(tmp_path / "run_pt"))
+    path = str(tmp_path / "ref.ckpt")
+    torch.save({"state_dict": {"marker.weight": torch.zeros(1)}}, path)
+    seen = {}
+    monkeypatch.setattr(
+        tr, "_import_full_torch", lambda p, sd: seen.update(path=p, sd=sd)
+    )
+    tr.load_weights(path)
+    assert seen["path"] == path
+    assert "marker.weight" in seen["sd"]  # state_dict unwrapped
+
+
 def test_eval_step_with_tta(synth, tmp_path):
     import jax.numpy as jnp
 
