@@ -102,7 +102,41 @@ def bench_bn_stats():
         }))
 
 
+def bench_int8_ffn():
+    """Fused a8w8 FFN sublayer vs (a) the XLA int8 composite and (b) the
+    bf16 fused FFN kernel it competes with on the serving path."""
+    from mdhs_tpu.ops import ffn_block
+    from mdhs_tpu.ops.quant_kernel import int8_ffn_block, int8_ffn_block_reference
+
+    N, H, Di = 512 * 128, 768, 3072  # bert-base serving shapes, B=512 L=128
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    x = (jax.random.normal(ks[0], (N, H)) * 0.5).astype(jnp.bfloat16)
+    w1 = jax.random.normal(ks[1], (H, Di)) * 0.03
+    b1 = jax.random.normal(ks[2], (Di,)) * 0.1
+    w2 = jax.random.normal(ks[3], (Di, H)) * 0.03
+    b2 = jax.random.normal(ks[4], (H,)) * 0.1
+    g = jax.random.normal(ks[5], (H,)) * 0.2 + 1.0
+    be = jax.random.normal(ks[6], (H,)) * 0.1
+
+    pl_ms = timed_chain(
+        lambda x: int8_ffn_block(x, w1, b1, w2, b2, g, be, 1e-12, "erf"), x)
+    xla_ms = timed_chain(
+        lambda x: int8_ffn_block_reference(x, w1, b1, w2, b2, g, be, 1e-12, "erf"), x)
+    bf16_ms = timed_chain(
+        lambda x: ffn_block.ffn_block(
+            x, w1.astype(jnp.bfloat16), b1, w2.astype(jnp.bfloat16), b2,
+            g, be, 1e-12, "erf"), x)
+    print(json.dumps({
+        "kernel": f"int8_ffn_block N{N} H{H} Di{Di}",
+        "pallas_ms": round(pl_ms, 4), "xla_ms": round(xla_ms, 4),
+        "speedup": round(xla_ms / pl_ms, 2),
+        "bf16_fused_ms": round(bf16_ms, 4),
+        "vs_bf16_fused": round(bf16_ms / pl_ms, 2),
+    }))
+
+
 if __name__ == "__main__":
     bench_selective_scan()
     bench_kan_forward()
     bench_bn_stats()
+    bench_int8_ffn()

@@ -277,8 +277,13 @@ def test_trainer_flatten_gate(tmp_path):
         jb = tr._device_batch(next(iter(tr.train_loader)))
         state, metrics = step(tr.state, jb, jax.random.PRNGKey(0))
         losses[flat] = float(metrics["loss"])
-    assert losses[True] == pytest.approx(losses[False], abs=1e-6)
-    assert losses["bucketed"] == pytest.approx(losses[False], abs=1e-6)
+    # The three configs are three separately-compiled programs; the loss is
+    # computed before the update, so any difference is XLA fusion/
+    # reassociation noise in the bf16 forward (observed up to ~2e-6 on
+    # TPU), not optimizer behavior. The flatten/bucket equivalence of the
+    # UPDATE math is pinned exactly in test_flatten_optimizer_matches_per_leaf.
+    assert losses[True] == pytest.approx(losses[False], abs=2e-5)
+    assert losses["bucketed"] == pytest.approx(losses[False], abs=2e-5)
 
 
 def test_muon_differential_vs_torch_twin():
