@@ -57,3 +57,21 @@ def test_save_roundtrip(tmp_path):
     p = tmp_path / "c.yml"
     cfg.save(str(p))
     assert Config.from_yaml(str(p)) == cfg
+
+
+def test_serving_preset_resolves_quantized_tower():
+    """configs/serving/mibf_ham_serving.yml is the shipped int8 serving
+    preset: it must chain through the MIBF base config and reach
+    BertConfig with the a8w8 tower + fast_math enabled, without touching
+    the training-side defaults (exact parity stays the training mode)."""
+    from mdhs_tpu.train.trainer import bert_config_from
+
+    cfg = load_config(os.path.join(REPO, "configs", "serving", "mibf_ham_serving.yml"))
+    bc = bert_config_from(cfg, vocab_size=30522)
+    assert bc.quantize == "int8"
+    assert bc.fast_math is True
+    assert cfg.get("inference.batch_size") == 512
+    # the preset inherits the MIBF HAM training config unchanged
+    base = load_config(os.path.join(REPO, "configs", "mibf", "mibf_ham.yml"))
+    assert bert_config_from(base, vocab_size=30522).quantize == "none"
+    assert cfg.get("model.num_classes") == base.get("model.num_classes") == 7
