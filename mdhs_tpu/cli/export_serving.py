@@ -1,10 +1,20 @@
 """AOT serving export: freeze the eval forward into a serialized artifact.
 
 TPU-native deployment path beyond the reference's `.pth`-and-Python serving:
-the jitted eval step (device-side preprocessing + model forward, weights
-baked in as constants) is lowered once with `jax.export` and written as a
-self-contained StableHLO artifact. A serving process deserializes and calls
-it with zero Python model code — `load_and_run` below is the whole loader.
+the jitted eval step (device-side preprocessing + model forward) is lowered
+once with `jax.export` and written, together with the weights, as a single
+self-contained artifact. A serving process deserializes and calls it with
+zero Python model code — `load_and_run` below is the whole loader.
+
+Artifact format (v2): one ZIP container holding
+  meta.json    — format tag, weight-leaf table (shape/dtype), input spec
+  fn.bin       — the serialized jax.export Exported (StableHLO)
+  leaf_NNNNN   — raw bytes of each weight leaf, in pytree-flatten order
+Weights ride as RUNTIME ARGUMENTS of the exported function, not baked-in
+constants: constant-baking a production tower (BERT-base + ResNet50,
+~135M params) bloats the StableHLO by ~0.5 GB, blows compile-time memory,
+and was measured to exceed request limits on relay-fronted compile services.
+v1 artifacts (raw Exported blob with weights as constants) still load.
 
 Reference behavior being packaged: scripts/predict.py:44-81 (uint8 batch ->
 logits), with the same static batch/seq shapes XLA compiles for.
@@ -13,8 +23,10 @@ logits), with the same static batch/seq shapes XLA compiles for.
 from __future__ import annotations
 
 import argparse
+import io
 import json
 import os
+import zipfile
 
 import jax
 import numpy as np
@@ -22,14 +34,23 @@ from jax import export as jax_export
 
 from .common import build_trainer
 
+_FORMAT = "mdhs-serving-v2"
+
 
 def export_trainer_forward(trainer, batch_size: int, tta: bool = False,
                            tta_transforms=None):
-    """Lower the trainer's eval step (weights closed over) to an Exported."""
+    """Lower the trainer's eval step to an Exported taking (weights, batch).
+
+    Returns (exported, spec, weight_leaves) — the leaves are what the
+    artifact stores and what `exported.call` expects as its first argument.
+    """
     import jax.numpy as jnp
 
     step = trainer.eval_step_fn(tta=tta, tta_transforms=tta_transforms)
-    state = trainer.state
+    # opt_state is training-only; dropping it (None = empty subtree) keeps
+    # Adam moments out of the artifact.
+    eval_state = trainer.state.replace(opt_state=None)
+    leaves, treedef = jax.tree_util.tree_flatten(eval_state)
     canvas = int(trainer.cfg.get("data.canvas", 256))
     seq_len = int(trainer.cfg.get("tokenizer.max_length", 128))
 
@@ -43,14 +64,51 @@ def export_trainer_forward(trainer, batch_size: int, tta: bool = False,
             (batch_size, trainer._tabular_dim), jnp.float32
         )
 
-    def serve(batch):
-        return step(state, batch)
+    def serve(weight_leaves, batch):
+        return step(jax.tree_util.tree_unflatten(treedef, weight_leaves), batch)
 
-    return jax_export.export(jax.jit(serve))(spec), spec
+    leaf_spec = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+    exported = jax_export.export(jax.jit(serve))(leaf_spec, spec)
+    return exported, spec, leaves
+
+
+def write_artifact(path: str, exported, spec, leaves) -> dict:
+    """Write the v2 ZIP container; returns size info for the CLI report."""
+    leaf_meta = []
+    weight_bytes = 0
+    fn_blob = exported.serialize()
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_STORED) as z:
+        for i, leaf in enumerate(leaves):
+            arr = np.asarray(leaf)
+            leaf_meta.append({"shape": list(arr.shape), "dtype": arr.dtype.name})
+            data = arr.tobytes()
+            weight_bytes += len(data)
+            z.writestr(f"leaf_{i:05d}", data)
+        z.writestr("fn.bin", fn_blob)
+        z.writestr("meta.json", json.dumps({
+            "format": _FORMAT,
+            "leaves": leaf_meta,
+            "inputs": {k: [list(v.shape), str(v.dtype)] for k, v in spec.items()},
+        }))
+    return {"fn_bytes": len(fn_blob), "weight_bytes": weight_bytes}
 
 
 def load_and_run(path: str, batch: dict):
     """The entire serving-side loader: deserialize + call."""
+    import jax.numpy as jnp
+
+    if zipfile.is_zipfile(path):
+        with zipfile.ZipFile(path) as z:
+            meta = json.loads(z.read("meta.json"))
+            assert meta["format"] == _FORMAT, meta["format"]
+            exported = jax_export.deserialize(bytearray(z.read("fn.bin")))
+            leaves = [
+                np.frombuffer(z.read(f"leaf_{i:05d}"),
+                              dtype=jnp.dtype(m["dtype"])).reshape(m["shape"])
+                for i, m in enumerate(meta["leaves"])
+            ]
+        return exported.call(leaves, batch)
+    # v1: raw Exported blob, weights baked in as constants
     with open(path, "rb") as f:
         exported = jax_export.deserialize(bytearray(f.read()))
     return exported.call(batch)
@@ -76,20 +134,20 @@ def main(argv=None):
     )
     if args.model_path:
         trainer.load_weights(args.model_path)
-    exported, spec = export_trainer_forward(
+    exported, spec, leaves = export_trainer_forward(
         trainer, args.batch_size,
         tta=args.tta, tta_transforms=("hflip", "vflip", "rot90") if args.tta else None,
     )
-    blob = exported.serialize()
     out_dir = os.path.dirname(args.output)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
-    with open(args.output, "wb") as f:
-        f.write(blob)
+    sizes = write_artifact(args.output, exported, spec, leaves)
 
     info = {
         "output": args.output,
-        "bytes": len(blob),
+        "format": _FORMAT,
+        "bytes": os.path.getsize(args.output),
+        **sizes,
         "platforms": list(exported.platforms),
         "batch_size": args.batch_size,
         "inputs": {k: [list(v.shape), str(v.dtype)] for k, v in spec.items()},
