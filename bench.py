@@ -43,35 +43,11 @@ from mdhs_tpu.ops.preprocess import eval_pipeline
 A100_PYTORCH_REF_IPS = 500.0  # see module docstring for the derivation
 
 
-def wait_for_backend(max_tries: int = 3, probe_timeout: int = 150, sleep_s: int = 30):
-    """Ride out a transient TPU-tunnel outage before starting the bench.
-
-    Round 3's scored run died at backend init ('Unable to initialize
-    backend axon: UNAVAILABLE'). Probe in a SUBPROCESS so a failed init
-    can't poison this process's cached backend state; once a probe
-    succeeds, in-process init follows the same (now healthy) path.
-    """
-    import subprocess
-    import sys
-
-    last = ""
-    for i in range(max_tries):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, text=True, timeout=probe_timeout,
-            )
-            if r.returncode == 0:
-                return
-            last = r.stderr[-500:]
-        except subprocess.TimeoutExpired:
-            last = f"probe timed out after {probe_timeout}s"
-        if i < max_tries - 1:
-            time.sleep(sleep_s)
-    print(
-        f"warning: backend probe never succeeded ({last})",
-        file=sys.stderr, flush=True,
-    )
+# Ride out transient TPU outages / libtpu skew before starting the bench
+# (r03 tunnel outage, r04 stale-AOT libtpu mismatch). Shared with
+# __graft_entry__; probes dispatch in a subprocess, clears the persistent
+# compilation cache on a libtpu version mismatch, retries.
+from mdhs_tpu.utils.backend import wait_for_backend
 
 SEQ_LEN = 128
 CANVAS = 256

@@ -100,7 +100,11 @@ def load_and_run(path: str, batch: dict):
     if zipfile.is_zipfile(path):
         with zipfile.ZipFile(path) as z:
             meta = json.loads(z.read("meta.json"))
-            assert meta["format"] == _FORMAT, meta["format"]
+            if meta["format"] != _FORMAT:
+                raise ValueError(
+                    f"unsupported serving artifact format {meta['format']!r} "
+                    f"(expected {_FORMAT!r})"
+                )
             exported = jax_export.deserialize(bytearray(z.read("fn.bin")))
             leaves = [
                 np.frombuffer(z.read(f"leaf_{i:05d}"),

@@ -18,10 +18,18 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .bert import BertConfig, BertModel
+from .mamba_vision import MambaVision
 from .resnet import ResNet
 
 
 class ImageTokenEncoder(nn.Module):
+    """backbone: resnet18/34/50 (reference encoder.py:13-109) or
+    mamba_vision_{T,T2,S,B,L,L2,L3,...} — the vendored NVIDIA backbone the
+    reference imports into its active model file
+    (ConNexT/models/pl_model_MOE2.py:21, backbone at
+    ConNexT/models/block/mamba_vision.py:2348-2420), here selectable from
+    YAML via model.image_encoder.backbone."""
+
     feature_dim: int = 512
     backbone: str = "resnet18"
     multi_scale: bool = False
@@ -31,9 +39,16 @@ class ImageTokenEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, H, W, 3) NHWC. Returns (tokens, taps)."""
-        taps = ResNet(
-            backbone=self.backbone, dtype=self.dtype, remat=self.remat, name="trunk"
-        )(x, train=train)
+        if self.backbone.startswith("mamba_vision_"):
+            variant = self.backbone[len("mamba_vision_"):]
+            _, taps = MambaVision(variant=variant, dtype=self.dtype, name="trunk")(
+                x, train=train, return_taps=True
+            )
+        else:
+            taps = ResNet(
+                backbone=self.backbone, dtype=self.dtype, remat=self.remat,
+                name="trunk",
+            )(x, train=train)
 
         def flatten(feat):
             B, H, W, C = feat.shape

@@ -256,7 +256,8 @@ class MambaVision(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = True):
+    def __call__(self, x, train: bool = False, features_only: bool = True,
+                 return_taps: bool = False):
         spec = MAMBA_VISION_SPECS[self.variant]
         dim, in_dim = spec["dim"], spec["in_dim"]
         depths, heads, windows = spec["depths"], spec["heads"], spec["window"]
@@ -265,6 +266,13 @@ class MambaVision(nn.Module):
         x = PatchEmbed(in_dim, dim, dtype=self.dtype, name="patch_embed")(
             x.astype(self.dtype), train
         )
+        # Functional taps named like the ResNet trunk's (stem, layer1..4) so
+        # the baseline family's Grad-CAM path (analysis/gradcam.py, reference
+        # run_analysis.py:126-133) works unchanged when this backbone is
+        # selected via image_encoder.backbone: mamba_vision_*. perturb() is
+        # a no-op unless a 'perturbations' collection is passed.
+        x = self.perturb("stem", x)
+        taps = {"stem": x}
         for stage in range(4):
             d = dim * (2**stage)
             n = depths[stage]
@@ -291,11 +299,13 @@ class MambaVision(nn.Module):
                 x = window_reverse(tokens, ws, Hp, Wp)
                 if pad_b or pad_r:
                     x = x[:, :H, :W, :]
+            x = self.perturb(f"layer{stage + 1}", x)
+            taps[f"layer{stage + 1}"] = x
             if stage < 3:
                 x = nn.Conv(d * 2, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                             use_bias=False, dtype=self.dtype, name=f"ds{stage + 1}")(x)
         if features_only:
-            return x
+            return (x, taps) if return_taps else x
         x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="norm")(x)
         pooled = x.mean(axis=(1, 2))

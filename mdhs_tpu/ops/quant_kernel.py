@@ -305,7 +305,10 @@ def int8_attention_block_reference(x, wqkv, bqkv, wo, bo, gamma, beta, bias,
 
 def attn_supports(dtype, seq_len: int, hidden: int, num_heads: int) -> bool:
     # Same VMEM accounting as ops/attention_block.py::supports, with the
-    # resident weights at int8 (half bf16) footprint.
+    # resident weights at int8 (half bf16) footprint, PLUS the in-kernel
+    # temporaries _attn_kernel materializes outside the declared scratch
+    # (ADVICE r4): the f32/int32 QKV projection accumulator (L, 3H) and
+    # the f32 x/y rows with their int8 twins (L, H).
     from .fused_attention import _head_group_size
 
     head_dim = hidden // num_heads
@@ -316,6 +319,7 @@ def attn_supports(dtype, seq_len: int, hidden: int, num_heads: int) -> bool:
         + G * seq_len * seq_len * (4 + 2)
         + seq_len * hidden * 2
     )
+    temps = seq_len * 3 * hidden * (4 + 4) + seq_len * hidden * (4 + 4 + 1)
     io = 4 * seq_len * hidden * 2
     return (
         dtype == jnp.bfloat16
@@ -324,21 +328,29 @@ def attn_supports(dtype, seq_len: int, hidden: int, num_heads: int) -> bool:
         and hidden % 128 == 0
         and head_dim * num_heads == hidden
         and head_dim % 8 == 0
-        and resident + scratch + io <= 14 * 1024 * 1024
+        and resident + scratch + temps + io <= 14 * 1024 * 1024
     )
 
 
 def supports(dtype, n_rows: int, hidden: int, intermediate: int) -> bool:
     # Resident int8 weights (H*Di bytes each) + double-buffered bf16 row
-    # tiles; same gating logic as ffn_block.supports but at half the
-    # weight footprint, so BERT-large (H=1024, Di=4096 -> 8.4MB) also fits.
+    # tiles + the in-kernel (_ROWS, Di) intermediates that _kernel
+    # materializes between the two MXU dots: the f32 GELU input/output h
+    # and the int32 acc1 (ADVICE r4 — these were omitted, letting
+    # BERT-large shapes pass a budget they'd blow at Mosaic compile time).
+    # The (_ROWS, H)-shaped f32/int8 temporaries (x, x_i8, y) are covered
+    # by the headroom between this 15MB budget and v5e's ~16MB/core VMEM.
+    # BERT-base (H=768, Di=3072): 4.7 + 1.5 + 6.3 = 12.5MB -> fits.
+    # BERT-large (H=1024, Di=4096): 8.4 + 2.1 + 8.4 = 18.9MB -> rejected
+    # (unmeasured on chip; only H<=768 shapes are tested/benched).
     resident = 2 * hidden * intermediate  # both weights, int8
     buffers = 2 * 2 * _ROWS * hidden * 2
+    scratch = _ROWS * intermediate * (4 + 4)  # f32 h + int32 acc1
     return (
         dtype == jnp.bfloat16
         and n_rows % _ROWS == 0
         and n_rows >= 1024
         and hidden % 128 == 0
         and intermediate % 128 == 0
-        and resident + buffers <= 15 * 1024 * 1024
+        and resident + buffers + scratch <= 15 * 1024 * 1024
     )

@@ -290,6 +290,11 @@ def make_optimizer(name: str, lr_schedule, cfg=None, freeze_mask=None,
     for masked freezing (the bool tree no longer aligns), so the Trainer
     gates it — misuse raises here.
     """
+    if flatten not in (False, True, "bucketed"):
+        raise ValueError(
+            f"training.flatten_optimizer must be false, true, or 'bucketed'; "
+            f"got {flatten!r}"
+        )
     if flatten and (freeze_mask is not None or name.lower() == "muon"):
         raise ValueError(
             "flatten_optimizer is incompatible with Muon and with frozen "

@@ -1127,7 +1127,7 @@ class Trainer:
             log.info("loaded pretrained text tower from %s", txt_path)
 
     def load_weights(self, path: str):
-        if not path.endswith(".msgpack"):
+        if not self._is_flax_msgpack(path):
             # Raw torch checkpoint (reference training output, Lightning
             # .ckpt, .pth/.bin/.safetensors): convert in place by family,
             # so `run_predict.py --model_path <reference ckpt>` works the
@@ -1156,6 +1156,30 @@ class Trainer:
             kan_state=self._replace_like(self.state.kan_state, ks),
         )
         log.info("loaded weights from %s", path)
+
+    @staticmethod
+    def _is_flax_msgpack(path: str) -> bool:
+        """Content-sniff a checkpoint: flax msgpack vs torch zip/pickle/
+        safetensors. Extension is only a fast path — a renamed flax
+        checkpoint (any name, or no extension) must still load through the
+        msgpack branch rather than dying inside the torch converter
+        (ADVICE r4). Our save_checkpoint writes a msgpack map whose first
+        byte is a fixmap (0x81-0x8f) or map16/32 (0xde/0xdf); torch>=1.6 is
+        a zip ('PK'), legacy torch is pickle (0x80 + protocol byte), and
+        safetensors starts with a little-endian u64 header length."""
+        if path.endswith(".msgpack"):
+            return True
+        try:
+            with open(path, "rb") as f:
+                head = f.read(2)
+        except OSError:
+            return False
+        if len(head) < 1:
+            return False
+        b0 = head[0]
+        # 0x80 alone would be an EMPTY msgpack map — never a real
+        # checkpoint — and is also the pickle PROTO opcode; treat as torch.
+        return (0x81 <= b0 <= 0x8F) or b0 in (0xDE, 0xDF)
 
     # ------------------------------------------------------------------
     def fit(self):

@@ -255,6 +255,17 @@ def test_flatten_optimizer_rejects_muon_and_freeze():
         make_optimizer("Adam", 1e-3, None, freeze_mask={"w": True}, flatten=True)
 
 
+def test_flatten_optimizer_rejects_unknown_values():
+    """Any flatten value outside (False, True, 'bucketed') is a config
+    error (ADVICE r4): a typo like 'bucket' or a YAML string 'true' must
+    not silently select full optax.flatten (a measured net LOSS)."""
+    from mdhs_tpu.train.optim import make_optimizer
+
+    for bad in ("bucket", "true", "yes", 2):
+        with pytest.raises(ValueError):
+            make_optimizer("Adam", 1e-3, None, flatten=bad)
+
+
 def test_trainer_flatten_gate(tmp_path):
     """training.flatten_optimizer=True end-to-end: single-device Trainer
     builds, steps, and the loss matches the default per-leaf run exactly."""

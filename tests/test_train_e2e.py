@@ -146,6 +146,28 @@ def test_load_weights_routes_torch_checkpoints(synth, tmp_path, monkeypatch):
     assert "marker.weight" in seen["sd"]  # state_dict unwrapped
 
 
+def test_load_weights_sniffs_renamed_flax_checkpoint(synth, tmp_path, monkeypatch):
+    """A flax msgpack checkpoint under any other name/extension must load
+    through the msgpack branch, not die inside the torch converter
+    (ADVICE r4): routing is by content magic, extension is only a fast
+    path."""
+    from mdhs_tpu.core.checkpoint import save_checkpoint
+    from mdhs_tpu.train.trainer import Trainer
+
+    root, paths = synth
+    cfg = make_cfg(root, paths)
+    cfg.set("training.num_epochs", 1)
+    tr = Trainer(cfg, family="baseline", output_dir=str(tmp_path / "run_sniff"))
+    path = str(tmp_path / "renamed_checkpoint.pth")  # torch-looking name
+    save_checkpoint(path, tr.checkpoint_state())
+
+    def boom(*a, **k):  # the torch converter must never be reached
+        raise AssertionError("renamed flax checkpoint routed to torch converter")
+
+    monkeypatch.setattr(tr, "_import_full_torch", boom)
+    tr.load_weights(path)  # tolerant merge, no-op content-wise
+
+
 def test_eval_step_with_tta(synth, tmp_path):
     import jax.numpy as jnp
 
