@@ -54,11 +54,20 @@ CANVAS = 256
 IMAGE_SIZE = 224
 NUM_CLASSES = 7
 K_STEPS = 8
-N_TIMED = 3
+N_TIMED = 5  # >=5 timed repeats: report median + min/max spread (VERDICT r4 #6)
+
+# v5e peak dense bf16 matmul throughput, for the MFU field. Other chips
+# fall back to "unknown" rather than a wrong denominator.
+PEAK_TFLOPS_BY_KIND = {"TPU v5 lite": 197.0, "TPU v5e": 197.0}
 
 
-def measure_throughput(fast_math: bool, batch: int, quantize: str = "none") -> float:
-    """Steady-state eval images/sec for one (mode, batch) point."""
+def measure_throughput(fast_math: bool, batch: int, quantize: str = "none"):
+    """Steady-state eval throughput for one (mode, batch) point.
+
+    Returns (per-repeat ips list, flops_per_image or None). Each repeat
+    times one K_STEPS lax.scan chain with a hard host fetch; the per-image
+    FLOP count comes from the compiled executable's own cost analysis (not
+    a hand estimate), so mfu_pct in the scored JSON is artifact-grounded."""
     model = MIBFNet(
         num_labels=NUM_CLASSES,
         bert=BertConfig(fast_math=fast_math, quantize=quantize),
@@ -91,13 +100,32 @@ def measure_throughput(fast_math: bool, batch: int, quantize: str = "none") -> f
         carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(K_STEPS))
         return carry
 
-    # compile + warmup
+    # FLOPs/image from the compiled single forward's own cost analysis.
+    # (The scan chain is unusable for this: XLA's cost analysis counts the
+    # while-loop body ONCE regardless of trip count — measured 3.79 GF/img
+    # through the chain vs 30.3 GF/img single-step, an exact 8x = K_STEPS.)
+    flops_per_image = None
+    try:
+        @jax.jit
+        def single_step(variables, images_u8, input_ids, mask):
+            images = eval_pipeline(images_u8, IMAGE_SIZE, normalize=False)
+            return model.apply(variables, images, input_ids, mask)["image_text"]
+
+        ca = single_step.lower(
+            variables, images_u8, input_ids, mask
+        ).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and ca.get("flops"):
+            flops_per_image = float(ca["flops"]) / batch
+    except Exception:
+        pass  # cost analysis is best-effort; mfu is omitted if unavailable
     np.asarray(step_chain(variables, images_u8, input_ids, mask))
-    t0 = time.perf_counter()
+    ips = []
     for _ in range(N_TIMED):
+        t0 = time.perf_counter()
         np.asarray(step_chain(variables, images_u8, input_ids, mask))
-    elapsed = time.perf_counter() - t0
-    return N_TIMED * K_STEPS * batch / elapsed
+        ips.append(K_STEPS * batch / (time.perf_counter() - t0))
+    return ips, flops_per_image
 
 
 def measure_p50_latency(fast_math: bool) -> float:
@@ -139,15 +167,29 @@ def main():
     # The fast_math serving preset (config knob model.fast_math) is reported
     # alongside, not scored.
     # With the fused attention/FFN sublayer kernels the per-layer f32 score
-    # workspace no longer hits HBM, so batch 512 beats 256 again (4392 vs
-    # 4315 img/s default mode on v5e).
+    # workspace no longer hits HBM, so batch 512 beats 256 (round-3 session:
+    # 4392 vs 4315 img/s on v5e). The r3-era 4392 vs the r4/r5 ~4205-4231
+    # readings is CROSS-SESSION drift (libtpu/runtime upgrades on the
+    # terminal between rounds — see MULTICHIP_r04's version-skew error),
+    # not a code regression: within one session the 5-repeat spread is
+    # ±0.3% (r5 measured 4217-4240), and r4's 4205 reproduces in r5 at
+    # 4221-4231 with both the old and new stem paths.
     batch = int(os.environ.get("BENCH_BATCH", "512"))
-    ips = measure_throughput(fast_math=False, batch=batch)
+    repeats, flops_per_image = measure_throughput(fast_math=False, batch=batch)
+    ips = float(np.median(repeats))
     p50_ms = measure_p50_latency(fast_math=False)
     # Serving preset = fast_math + int8 a8w8 BERT tower (fused Pallas
     # sublayer kernels, ops/quant_kernel.py). Both knobs are opt-in with
     # measured drift documented in docs/PARITY.md; not scored.
-    serving_ips = measure_throughput(fast_math=True, batch=batch, quantize="int8")
+    serving_repeats, _ = measure_throughput(fast_math=True, batch=batch,
+                                            quantize="int8")
+    serving_ips = float(np.median(serving_repeats))
+
+    mfu_pct = None
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_TFLOPS_BY_KIND.get(kind)
+    if flops_per_image and peak:
+        mfu_pct = 100.0 * ips * flops_per_image / (peak * 1e12)
 
     # Training throughput (VERDICT r2 #3): the real Trainer step — fused
     # aug + fwd + bwd + Adam — through benchmarks/train_bench.measure.
@@ -170,7 +212,15 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / A100_PYTORCH_REF_IPS, 2),
         "p50_predict_latency_ms": round(p50_ms, 2),
+        "repeats_min": round(float(min(repeats)), 1),
+        "repeats_max": round(float(max(repeats)), 1),
+        "n_repeats": len(repeats),
+        "mfu_pct": round(mfu_pct, 1) if mfu_pct is not None else None,
+        "flops_per_image_g": (round(flops_per_image / 1e9, 2)
+                              if flops_per_image else None),
         "serving_preset_ips": round(serving_ips, 1),
+        "serving_repeats_min": round(float(min(serving_repeats)), 1),
+        "serving_repeats_max": round(float(max(serving_repeats)), 1),
         "batch": batch,
         "backend": jax.default_backend(),
     }

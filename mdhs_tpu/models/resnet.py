@@ -16,10 +16,12 @@ Design notes (TPU-first, not a torch translation):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Dict, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
@@ -109,6 +111,67 @@ TAP_CHANNELS = {
 }
 
 
+class S2DStemConv(nn.Module):
+    """7x7/stride-2/pad-3 stem conv computed as space-to-depth + 4x4/stride-1.
+
+    Numerically the same dot products as the plain conv (each output sums the
+    same 147 products, plus zero taps from the kernel padding) — only the
+    data layout changes: the 3-channel 224^2 input becomes a 12-channel
+    112^2 input, which XLA tiles onto the MXU far better than a C_in=3
+    strided conv (docs/TRAIN_PERF.md attributes ~23 ms of the train step to
+    the HBM/layout-bound ResNet50 stem). Standard TPU practice for exactly
+    this stem shape.
+
+    The parameter tree is IDENTICAL to nn.Conv's ({kernel: (7,7,C,64)}), so
+    checkpoints, converters, and parity tests are untouched; toggling s2d is
+    a pure execution-plan change.
+    """
+
+    features: int = 64
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, C, self.features),
+            jnp.float32,
+        )
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        # input: 2x2 blocks -> channels, packing index = dy*2C + dx*C + c
+        xb = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        # kernel: zero-pad 7->8 on the LEFT (tap k' = k+1, so the original
+        # pad-3 window becomes an even pad-4 window), then block-decompose
+        # with the same (dy, dx, c) packing
+        k = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k = k.reshape(4, 2, 4, 2, C, self.features)
+        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * C, self.features)
+        # block-space padding (2, 1): left 4px covers the original pad-3
+        # (the extra row/col only meets the zero kernel tap), right 2px
+        # covers taps up to 2*(out-1)+3
+        return jax.lax.conv_general_dilated(
+            xb, k, (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+def _use_s2d_stem(mode: str, x) -> bool:
+    """Resolve the s2d_stem knob: "on" / "off" / "auto" (TPU + even H/W).
+    Env MDHS_S2D_STEM overrides the config for A/B measurement."""
+    mode = os.environ.get("MDHS_S2D_STEM", mode).lower()
+    if mode not in ("on", "off", "auto"):
+        raise ValueError(f"s2d_stem={mode!r}: expected on/off/auto")
+    H, W = x.shape[1], x.shape[2]
+    even = H % 2 == 0 and W % 2 == 0
+    if mode == "on":
+        return even
+    if mode == "off":
+        return False
+    return even and jax.default_backend() == "tpu"
+
+
 def _torch_conv(dtype):
     """Conv factory with torch-exact symmetric padding (k//2 per side)."""
 
@@ -130,6 +193,7 @@ class ResNet(nn.Module):
     backbone: str = "resnet18"
     dtype: jnp.dtype = jnp.bfloat16
     remat: str = "none"  # see core/remat.py; numerics-preserving memory knob
+    s2d_stem: str = "auto"  # on|off|auto — space-to-depth stem (S2DStemConv)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -154,8 +218,13 @@ class ResNet(nn.Module):
         stage_sizes = STAGE_SIZES[self.backbone]
 
         x = x.astype(self.dtype)
-        # Stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool (reference encoder.py:63-68)
-        x = conv(64, (7, 7), (2, 2), name="stem_conv")(x)
+        # Stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool (reference encoder.py:63-68).
+        # The s2d path computes the same products through a space-to-depth
+        # reorganization (identical param tree; see S2DStemConv).
+        if _use_s2d_stem(self.s2d_stem, x):
+            x = S2DStemConv(features=64, dtype=self.dtype, name="stem_conv")(x)
+        else:
+            x = conv(64, (7, 7), (2, 2), name="stem_conv")(x)
         x = norm(name="stem_bn")(x)
         x = nn.relu(x)
         # perturb() taps are identity in normal runs; Grad-CAM differentiates

@@ -117,6 +117,12 @@ def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype
             moe_k=moe.get("k", 2),
             moe_expert_layers=tuple(moe["expert_layers"]) if moe.get("expert_layers") else None,
             use_mamba_fusion=bool(cfg.get("model.mamba_fusion.enabled", False)),
+            # must match the data side's vector length (reference loads dim
+            # 3584 or 5120 per LLM, ConNexT/dataset/pl_datset.py:94-158)
+            llm_hidden_dim=int(cfg.get(
+                "data.llm_hidden_dim",
+                cfg.get("model.mamba_fusion.llm_hidden_dim", 3584),
+            )),
             bert=bert,
             dtype=dtype,
             remat=remat,
@@ -1100,8 +1106,18 @@ class Trainer:
                 self._merge_subtrees({"image_encoder": p}, {"image_encoder": s})
             else:
                 backbone = cfg.get("model.image_encoder.backbone", "resnet18")
-                with convert_context(img_path, f"torchvision {backbone}"):
-                    p, s = convert_resnet(sd, backbone=backbone)
+                if backbone.startswith("mamba_vision_"):
+                    # NVIDIA MambaVision checkpoint (reference vendored the
+                    # backbone at ConNexT/models/block/mamba_vision.py)
+                    from ..core.convert import convert_mamba_vision
+
+                    with convert_context(img_path, f"NVIDIA {backbone}"):
+                        p, s = convert_mamba_vision(
+                            sd, variant=backbone[len("mamba_vision_"):]
+                        )
+                else:
+                    with convert_context(img_path, f"torchvision {backbone}"):
+                        p, s = convert_resnet(sd, backbone=backbone)
                 self._merge_subtrees(
                     {"image_encoder": {"trunk": p}},
                     {"image_encoder": {"trunk": s}},

@@ -62,6 +62,74 @@ def test_mamba_vision_encoder():
     assert out.shape == (1, 4, 640)  # 64/32=2 -> 2x2 tokens, dim 80*8
 
 
+def test_s2d_stem_matches_plain_conv():
+    """S2DStemConv computes the same dot products as the 7x7/s2/p3 stem conv
+    (space-to-depth reorganization, docs/TRAIN_PERF.md): identical param
+    tree, outputs equal up to summation order, odd spatial sizes fall back."""
+    import numpy as np
+
+    from mdhs_tpu.models.resnet import ResNet
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    off = ResNet(backbone="resnet18", dtype=jnp.float32, s2d_stem="off")
+    on = ResNet(backbone="resnet18", dtype=jnp.float32, s2d_stem="on")
+    v = jax.jit(lambda r: off.init(r, x))(KEY)
+    v_on = jax.jit(lambda r: on.init(r, x))(KEY)
+    # identical parameter trees: checkpoints/converters are untouched
+    assert jax.tree_util.tree_structure(v["params"]) == jax.tree_util.tree_structure(
+        v_on["params"]
+    )
+    assert v["params"]["stem_conv"]["kernel"].shape == (7, 7, 3, 64)
+
+    run = lambda m: jax.jit(lambda v, x: m.apply(v, x))(
+        {k: v[k] for k in ("params", "batch_stats")}, x
+    )
+    t_off, t_on = run(off), run(on)
+    for key in t_off:
+        np.testing.assert_allclose(
+            np.asarray(t_on[key]), np.asarray(t_off[key]), atol=3e-5, rtol=1e-5,
+            err_msg=key,
+        )
+
+    # odd spatial size: "on" silently falls back to the plain conv
+    x_odd = x[:, :63, :63, :]
+    t_odd = jax.jit(lambda v, x: on.apply(v, x))(
+        {k: v[k] for k in ("params", "batch_stats")}, x_odd
+    )
+    assert t_odd["stem"].shape[1] == t_odd["stem"].shape[2]
+
+
+def test_image_token_encoder_mamba_vision_backbone():
+    """image_encoder.backbone: mamba_vision_* is selectable in the baseline
+    family (the reference wires the vendored backbone into its active model
+    file, ConNexT/models/pl_model_MOE2.py:21): tokens + ResNet-named taps
+    (stem/layer1..4) so fusion, Grad-CAM and multiscale all work."""
+    from mdhs_tpu.models.encoders import ImageTokenEncoder
+
+    m = ImageTokenEncoder(feature_dim=96, backbone="mamba_vision_T",
+                          dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r: m.init(r, x))(KEY)
+    tokens, taps = jax.jit(lambda v, x: m.apply(v, x))(
+        {k: v[k] for k in ("params", "batch_stats")}, x
+    )
+    assert tokens.shape == (1, 4, 96)  # 64/32=2 -> 2x2 tokens
+    assert set(taps) == {"stem", "layer1", "layer2", "layer3", "layer4"}
+    assert taps["stem"].shape == (1, 16, 16, 80)      # /4, dim
+    assert taps["layer2"].shape == (1, 8, 8, 160)     # /8, 2*dim
+    assert taps["layer4"].shape == (1, 2, 2, 640)     # /32, 8*dim
+
+    ms = ImageTokenEncoder(feature_dim=96, backbone="mamba_vision_T",
+                           multi_scale=True, dtype=jnp.float32)
+    v = jax.jit(lambda r: ms.init(r, x))(KEY)
+    tokens, _ = jax.jit(lambda v, x: ms.apply(v, x))(
+        {k: v[k] for k in ("params", "batch_stats")}, x
+    )
+    assert set(tokens) == {"layer2", "layer3", "layer4"}
+    assert tokens["layer2"].shape == (1, 64, 96)
+
+
 def test_bert_hidden_states():
     from mdhs_tpu.models.bert import BertConfig, BertModel
 
