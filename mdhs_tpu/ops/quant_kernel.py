@@ -308,7 +308,11 @@ def attn_supports(dtype, seq_len: int, hidden: int, num_heads: int) -> bool:
     # resident weights at int8 (half bf16) footprint, PLUS the in-kernel
     # temporaries _attn_kernel materializes outside the declared scratch
     # (ADVICE r4): the f32/int32 QKV projection accumulator (L, 3H) and
-    # the f32 x/y rows with their int8 twins (L, H).
+    # the f32 x/y rows with their int8 twins (L, H). This rejects
+    # L=256/H=768 (~15.9MB > 14MB budget) — validated on-chip in r5: a
+    # compile probe of that shape did not finish Mosaic compilation within
+    # 590s (only L=128 shapes are tested/measured); the XLA int8 composite
+    # serves longer sequences.
     from .fused_attention import _head_group_size
 
     head_dim = hidden // num_heads

@@ -124,3 +124,33 @@ def test_export_serving_cli(trained, tmp_path):
     )
     assert got.shape == want.shape == (4, 7)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_serving_int8_preset(trained, tmp_path):
+    """The int8 serving preset exports and runs through the AOT artifact
+    (VERDICT r4 #7 regression; full-shape on-chip drift numbers live in
+    benchmarks/serving_artifact_check.py + docs/PARITY.md). At this tiny
+    shape the Pallas kernels gate off to the XLA int8 composite — what's
+    pinned here is that the quantized eval graph itself survives the
+    jax.export round trip and stays finite."""
+    import numpy as np
+
+    from mdhs_tpu.cli.export_serving import load_and_run, main as export_main
+
+    root, paths, cfg_path, ckpt = trained
+    art = str(tmp_path / "model_int8.jaxexport")
+    info = export_main([
+        "--config", cfg_path, "--model_path", ckpt, "--output", art,
+        "--batch_size", "4", "--smoke_test",
+        "--set", "model.fast_math=true",
+        "--set", "model.text_encoder.quantize=int8",
+    ])
+    assert info["smoke_finite"]
+    rng = np.random.default_rng(2)
+    batch = {
+        "image": rng.integers(0, 255, (4, 56, 56, 3)).astype(np.uint8),
+        "input_ids": rng.integers(0, 100, (4, 16)).astype(np.int32),
+        "attention_mask": np.ones((4, 16), np.int32),
+    }
+    got = np.asarray(load_and_run(art, batch), np.float32)
+    assert got.shape == (4, 7) and np.isfinite(got).all()
