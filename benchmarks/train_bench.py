@@ -50,13 +50,16 @@ def measure(batch: int = BATCH, k: int = K, training_overrides: dict = None):
         cd["training"]["precision"] = "bf16"
         cd["training"]["learning_rate"] = 1e-4
         env_over = os.environ.get("BENCH_TRAIN_OVERRIDES")
+        cfg = Config(cd)
         for src in (json.loads(env_over) if env_over else None, training_overrides):
-            if src:
-                cd["training"].update(src)
+            for key, val in (src or {}).items():
+                # dotted keys address the whole config ("model.fast_math");
+                # bare keys stay training.* A/B knobs for compatibility
+                cfg.set(key if "." in key else f"training.{key}", val)
 
         from mdhs_tpu.train.trainer import Trainer
 
-        trainer = Trainer(Config(cd), family="mibf",
+        trainer = Trainer(cfg, family="mibf",
                           output_dir=os.path.join(tmp, "run"))
         step = trainer.train_step_fn()
         jbatch = trainer._device_batch(next(iter(trainer.train_loader)))
