@@ -62,6 +62,18 @@ class BertConfig:
     #            measured in benchmarks/fast_math_drift.py --quantize and
     #            documented in PARITY.md ("int8 serving preset").
     quantize: str = "none"
+    # Sequence parallelism (config knob parallel.sequence_parallel, active
+    # only when parallel.n_model > 1): the residual stream (B, L, H) is
+    # constrained to P(data, model, None) between encoder layers, so
+    # LayerNorm/dropout/embedding work divides over the model axis and the
+    # per-chip activation footprint shrinks L/n_model-fold; GSPMD inserts
+    # the all-gather/reduce-scatter pairs around the TP matmuls
+    # (Megatron-SP layout, expressed as sharding constraints instead of
+    # hand-written collectives). Stored as ((axis_name, size), ...) so the
+    # config stays hashable and mesh-object-free: the constraint binds an
+    # AbstractMesh by axis names and resolves against the mesh the inputs
+    # actually live on (single-device runs resolve to no-op).
+    sp_mesh_shape: tuple = ()
     # Rematerialization of encoder layers (training-memory knob,
     # config: training.remat). "none" saves every intermediate (fastest
     # backward, most HBM); "selective" saves only matmul outputs and
@@ -402,6 +414,21 @@ class BertModel(nn.Module):
         )
         hidden = nn.Dropout(c.hidden_dropout)(hidden, deterministic=deterministic)
 
+        sp = lambda h: h
+        if c.sp_mesh_shape:
+            from jax.sharding import AbstractMesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            amesh = AbstractMesh(
+                tuple(s for _, s in c.sp_mesh_shape),
+                tuple(n for n, _ in c.sp_mesh_shape),
+            )
+            spec = P(c.sp_mesh_shape[0][0], c.sp_mesh_shape[1][0], None)
+            sp = lambda h: jax.lax.with_sharding_constraint(
+                h, NamedSharding(amesh, spec)
+            )
+        hidden = sp(hidden)
+
         # HF-style additive mask: 0 for attend, large negative for padding.
         attn_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
 
@@ -416,8 +443,10 @@ class BertModel(nn.Module):
             )
         all_hidden = [hidden]
         for i in range(c.num_hidden_layers):
-            hidden = layer_cls(c, dtype=self.dtype, name=f"layer_{i}")(
-                hidden, attn_bias, deterministic, attention_mask
+            hidden = sp(
+                layer_cls(c, dtype=self.dtype, name=f"layer_{i}")(
+                    hidden, attn_bias, deterministic, attention_mask
+                )
             )
             all_hidden.append(hidden)
         return hidden, tuple(all_hidden)

@@ -69,28 +69,42 @@ class TrainState:
     opt_state: Any
 
 
-def bert_config_from(cfg: Config, vocab_size: int) -> BertConfig:
+def bert_config_from(cfg: Config, vocab_size: int, mesh=None) -> BertConfig:
     preset = cfg.get("model.text_encoder.preset", "base")
     fast = bool(cfg.get("model.fast_math", False))
     impl = cfg.get("model.text_encoder.attention_impl", "auto")
     quant = str(cfg.get("model.text_encoder.quantize", "none"))
     remat = str(cfg.get("training.remat", "none"))
+    # Sequence parallelism: opt-in (parallel.sequence_parallel) and only
+    # meaningful with a >1 model axis. Recorded as ((axis, size), ...) so
+    # BertConfig stays a hashable mesh-object-free dataclass (bert.py
+    # resolves it as an AbstractMesh by axis name at trace time).
+    sp_shape: tuple = ()
+    if (
+        mesh is not None
+        and bool(cfg.get("parallel.sequence_parallel", False))
+        and dict(mesh.shape).get("model", 1) > 1
+    ):
+        sp_shape = tuple((str(n), int(s)) for n, s in mesh.shape.items())
     if preset == "tiny":
         base = BertConfig.tiny()
         return dataclasses.replace(
             base, vocab_size=max(vocab_size, base.vocab_size), fast_math=fast,
             attention_impl=impl, quantize=quant, remat=remat,
+            sp_mesh_shape=sp_shape,
         )
     return BertConfig(vocab_size=max(vocab_size, 30522), fast_math=fast,
-                      attention_impl=impl, quantize=quant, remat=remat)
+                      attention_impl=impl, quantize=quant, remat=remat,
+                      sp_mesh_shape=sp_shape)
 
 
-def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype=None):
+def build_model(cfg: Config, family: str, tokenizer, tabular_dim: int = 0, dtype=None,
+                mesh=None):
     if dtype is None:
         from ..core.dtypes import DTypePolicy
 
         dtype = DTypePolicy.from_config(cfg).compute_dtype
-    bert = bert_config_from(cfg, tokenizer.vocab_size)
+    bert = bert_config_from(cfg, tokenizer.vocab_size, mesh=mesh)
     # Training-memory knob (training.remat: none|selective|full, core/remat.py).
     # Threaded to both towers; eval-only jits are unaffected (remat only
     # changes what the backward saves).
@@ -221,7 +235,8 @@ class Trainer:
             )
         self._tabular_dim = tabular_dim
 
-        self.model = build_model(cfg, family, self.tokenizer, tabular_dim)
+        self.model = build_model(cfg, family, self.tokenizer, tabular_dim,
+                                 mesh=self.mesh)
         self.ablation_mode = cfg.get("model.ablation_mode")
 
         # loss config
