@@ -104,3 +104,20 @@ def test_graft_entry_tpu_expected(monkeypatch):
     assert g._tpu_expected()
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
     assert g._tpu_expected()
+
+
+def test_relay_failure_signatures():
+    """conftest's one-shot retry must trigger ONLY on relay-infra
+    signatures, never on ordinary assertion failures (it would otherwise
+    mask real regressions by rerunning them)."""
+    import conftest as cf
+
+    assert cf.is_relay_failure(
+        "jax.errors.JaxRuntimeError: INTERNAL: http://127.0.0.1:8083/"
+        "remote_compile: read body: response body closed before all bytes"
+    )
+    assert cf.is_relay_failure("FAILED_PRECONDITION: libtpu version mismatch")
+    assert not cf.is_relay_failure(
+        "AssertionError: arrays not close: max abs diff 0.12"
+    )
+    assert not cf.is_relay_failure("ValueError: unknown model family: resnet")
