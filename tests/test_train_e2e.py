@@ -44,7 +44,7 @@ def test_kan_regrid_during_training(synth, tmp_path):
     jb = {k: np.asarray(v) for k, v in batch.items() if k != "image_id"}
     import jax.numpy as jnp
     jbj = {k: jnp.asarray(v) for k, v in jb.items()}
-    val_step = tr._val_step_fn()
+    val_step = tr.eval_step_fn()  # logits path ((loss, hits) would hide drift)
     before_grid = np.asarray(next(iter(
         v for k, v in __import__("flax").traverse_util.flatten_dict(
             __import__("flax").serialization.to_state_dict(tr.state.kan_state), sep="/"
@@ -58,7 +58,7 @@ def test_kan_regrid_during_training(synth, tmp_path):
         ).items() if k.endswith("/grid")
     )))
     assert not np.allclose(before_grid, after_grid), "grid did not move"
-    logits_after = np.asarray(tr._val_step_fn()(tr.state, jbj), np.float32)
+    logits_after = np.asarray(val_step(tr.state, jbj), np.float32)
     # function preserved across the refit (loose: lstsq refit on a finite
     # batch; bf16 model)
     np.testing.assert_allclose(logits_after, logits_before, atol=0.05, rtol=0.05)
@@ -108,7 +108,7 @@ def test_mamba_vision_backbone_train_and_eval(synth, tmp_path):
 
     tr.state, m = step(tr.state, jb, jax.random.PRNGKey(0))
     assert math.isfinite(float(m["loss"]))
-    logits = np.asarray(tr._val_step_fn()(tr.state, jb), np.float32)
+    logits = np.asarray(tr.eval_step_fn()(tr.state, jb), np.float32)
     assert logits.shape == (jb["image"].shape[0], 7)
     assert np.isfinite(logits).all()
 
