@@ -166,15 +166,17 @@ def main():
     # pipeline, which has no Normalize (reference dataset_spine.py:62-69).
     # The fast_math serving preset (config knob model.fast_math) is reported
     # alongside, not scored.
-    # With the fused attention/FFN sublayer kernels the per-layer f32 score
-    # workspace no longer hits HBM, so batch 512 beats 256 (round-3 session:
-    # 4392 vs 4315 img/s on v5e). The r3-era 4392 vs the r4/r5 ~4205-4231
-    # readings is CROSS-SESSION drift (libtpu/runtime upgrades on the
-    # terminal between rounds — see MULTICHIP_r04's version-skew error),
-    # not a code regression: within one session the 5-repeat spread is
-    # ±0.3% (r5 measured 4217-4240), and r4's 4205 reproduces in r5 at
-    # 4221-4231 with both the old and new stem paths.
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    # Batch choice: re-swept each round (benchmarks/eval_batch_sweep.py).
+    # r5 on-chip sweep (parity mode, median of 5): 512→4210, 768→4200,
+    # 1024→4253, 1536→4218, 2048→4389, 4096→4241 img/s — 2048 is the peak
+    # (+4.3% over 512; serving preset peaks there too, 5387 vs 5157) and
+    # 4096 spills. The non-monotonic bumps at non-power-of-two batches are
+    # tiling/grid effects, not noise (spreads are ±0.3%).
+    # Historical note: the r3-era 4392@512 vs r4/r5 ~4205-4231@512 gap is
+    # CROSS-SESSION drift (terminal libtpu upgrades between rounds — see
+    # MULTICHIP_r04's version-skew error), not a code regression: r4's
+    # 4205 reproduced in r5 at 4210-4231 across stem paths.
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
     repeats, flops_per_image = measure_throughput(fast_math=False, batch=batch)
     ips = float(np.median(repeats))
     p50_ms = measure_p50_latency(fast_math=False)
